@@ -1,0 +1,103 @@
+"""Vectorized, deterministic hashing kernels.
+
+The reference hashes every segment client-side with an OpenSSL digest
+(lib/dbManager.cpp:212-233, include/HashUtils.h:86-100). Here the
+cryptographic digests stay (hashlib, per-segment), while the *near-dup* path
+uses cheap 64-bit rolling hashes computed with numpy so a whole batch of
+documents is shingled without a per-shingle Python call.
+
+All constants are fixed (not config-dependent) so that two runs — and the
+N-vs-4N scaling runs — produce bit-identical hashes (SURVEY.md §7.4
+determinism requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 finalizer constants (public domain, Vigna 2015).
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_C1 = U64(0xBF58476D1CE4E5B9)
+_SM_C2 = U64(0x94D049BB133111EB)
+
+# Odd multipliers for positional k-gram combination, derived once from a
+# fixed-seed PRNG (seed 0xD5ED0 "dedup"); independent of PipelineConfig.seed.
+_KGRAM_MULT = (np.random.default_rng(0xD5ED0).integers(
+    1, 1 << 63, size=64, dtype=np.uint64) << U64(1)) | U64(1)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uniform 64-bit mixing."""
+    z = (x + _SM_GAMMA) & _MASK64
+    z = ((z ^ (z >> U64(30))) * _SM_C1) & _MASK64
+    z = ((z ^ (z >> U64(27))) * _SM_C2) & _MASK64
+    return z ^ (z >> U64(31))
+
+
+def kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """All overlapping k-gram 64-bit hashes of ``data`` (uint64 array).
+
+    A document shorter than ``k`` yields a single hash of the whole content
+    (mirrors the reference's keep-the-partial-tail segmentation semantics,
+    lib/dbManager.cpp:224-234, applied to shingling). Empty input yields an
+    empty array (callers filter empty docs first — the reference's
+    empty-file guard, include/FileService.h:372-377).
+    """
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = b.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(n):
+            acc = (acc * _KGRAM_MULT[j % 64] + U64(b[j])) & _MASK64
+        return splitmix64(acc)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    b64 = b.astype(np.uint64)
+    for j in range(k):
+        acc = (acc * _KGRAM_MULT[j % 64] + b64[j:j + m]) & _MASK64
+    return splitmix64(acc)
+
+
+def combine_rows_u64(mat: np.ndarray) -> np.ndarray:
+    """Combine each row of a (n, r) uint64 matrix into one uint64 hash.
+
+    Used for LSH band keys: r signature slots -> one bucket key.
+    """
+    acc = np.zeros(mat.shape[0], dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        acc = (acc * _KGRAM_MULT[j % 64] + mat[:, j]) & _MASK64
+    return splitmix64(acc)
+
+
+def stable_id64(*parts: str) -> int:
+    """Deterministic signed-int64 id from string parts (NUL-joined).
+
+    Replaces the reference's Postgres ``serial`` file_id
+    (lib/dbManager.cpp:572-581) with a coordination-free content-derived id
+    so id assignment needs no global counter on a cluster. Collision
+    probability ~ n^2 / 2^63 — negligible below ~10^8 rows per namespace;
+    at larger scale widen to 128 bits.
+    """
+    h = hashlib.blake2b("\x00".join(parts).encode("utf-8"), digest_size=8)
+    v = int.from_bytes(h.digest(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def sha256_hex(texts) -> list[str]:
+    """Lowercase-hex sha256 per text (matches DuckDB's sha256())."""
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def digest_hex(texts, hash_name: str) -> list[str]:
+    """Hex digest per text for any HASH_REGISTRY entry."""
+    from data_deduplication_service_ray.config import HASH_REGISTRY
+
+    fn, _ = HASH_REGISTRY[hash_name]
+    return [fn(t.encode("utf-8")).hex() for t in texts]

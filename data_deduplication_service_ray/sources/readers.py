@@ -1,0 +1,57 @@
+"""Canonical dataset readers (reference sources S1-S3, SURVEY.md §2.1).
+
+The reference walks a filesystem and ingests files one by one
+(include/FileService.h:430-475); here the "filesystem" is a Parquet corpus
+and ingest is a single ``read_parquet`` with column pruning. Every reader
+canonicalizes to the internal schema ``(file_id:int64, content:string, …)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from data_deduplication_service_ray.functions.hashing import stable_id64
+
+
+def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
+    """Read an input_hint-shaped corpus (repo,path,commit,lang,content)
+    and derive ``file_id`` content-free from the natural key.
+
+    Replaces the reference's serial catalog ids (lib/dbManager.cpp:572-581)
+    with a deterministic, coordination-free id — safe on a multi-node
+    cluster where a global counter would serialize ingest.
+    """
+    cols = columns or ["repo", "path", "commit", "lang", "content"]
+    need = sorted(set(cols) | {"repo", "path", "commit"})
+    ds = ray.data.read_parquet(path_or_dir, columns=need)
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        ids = [stable_id64(r, p, c) for r, p, c in
+               zip(batch["repo"].to_pylist(), batch["path"].to_pylist(),
+                   batch["commit"].to_pylist())]
+        return batch.append_column("file_id", pa.array(ids, pa.int64()))
+
+    return ds.map_batches(add_id, batch_format="pyarrow")
+
+
+def read_documents(sf_dir: str, *, columns=None) -> ray.data.Dataset:
+    """Read the driver testdata ``documents`` table canonicalized to the
+    internal schema: doc_id -> file_id, text -> content; lang/source kept.
+    """
+    cols = columns or ["doc_id", "text", "lang", "source"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        out = batch
+        if "doc_id" in out.column_names:
+            out = out.rename_columns(
+                ["file_id" if c == "doc_id" else "content" if c == "text"
+                 else c for c in out.column_names])
+        return out
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

@@ -1,0 +1,99 @@
+"""Exact dedup: global refcounted segment store + whole-file dedup.
+
+Reference parity (the core of the reference engine):
+- per-file partial aggregate: ``GROUP BY data, hash`` into new_segments_x
+  (lib/dbManager.cpp:263-265) == the combine step inside ``map_batches``;
+- global upsert-merge: ``INSERT ... ON CONFLICT (segment_hash) DO UPDATE
+  SET segment_count += excluded`` (lib/dbManager.cpp:274-281) == a
+  ``groupby(segment_hash)`` shuffle reduce;
+- refcounts are an aggregation *result* here, not mutable state (ST2);
+- delete + GC (lib/dbManager.cpp:92-161, deleteUnusedSegments
+  lib/dbCommon.cpp:188-190) == anti-join + recompute;
+- refcount invariant check (checkSegmentCount, lib/dbCommon.cpp:192-202)
+  == recompute-and-compare, exposed for pytest.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+
+def segment_store(recipe: ray.data.Dataset) -> ray.data.Dataset:
+    """(file_id,pos,segment_hash,segment) -> (segment_hash, segment, count).
+
+    Two-level aggregation: a vectorized per-batch partial count (Arrow
+    ``Table.group_by``) shrinks the shuffle input, then a global
+    ``groupby(segment_hash)`` sums partials — the Ray-native form of the
+    reference's temp-table-then-upsert trick
+    (doc/implementationDetails.md:176-204).
+    """
+    has_data = "segment" in recipe.schema().names
+    carry = ["segment"] if has_data else []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spec = [("pos", "count")] + [(c, "first") for c in carry]
+        agg = batch.group_by(["segment_hash"]).aggregate(spec)
+        ren = {"pos_count": "partial_count", "segment_first": "segment"}
+        return agg.rename_columns(
+            [ren.get(n, n) for n in agg.column_names])
+
+    partials = recipe.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("partial_count", alias_name="segment_count")]
+    if has_data:
+        aggs.append(Min("segment", alias_name="segment"))
+    return partials.groupby("segment_hash").aggregate(*aggs)
+
+
+def file_dedup(normalized: ray.data.Dataset) -> ray.data.Dataset:
+    """Whole-file exact dedup: one representative per content_sha256.
+
+    Keep-first with a deterministic winner (min file_id) — the analog of
+    the segment-store PK keeping one payload per hash
+    (lib/dbManager.cpp:551). Returns
+    (content_sha256, file_id=representative, dup_count).
+    """
+    return (normalized
+            .groupby("content_sha256")
+            .aggregate(Min("file_id", alias_name="file_id"),
+                       Count(alias_name="dup_count")))
+
+
+def delete_files(recipe: ray.data.Dataset,
+                 delete_ids: set[int]) -> ray.data.Dataset:
+    """Remove files and garbage-collect: recompute the store without them.
+
+    The reference decrements refcounts with an aggregate-then-join UPDATE
+    and deletes zero-count segments (lib/dbManager.cpp:110-121,
+    lib/dbCommon.cpp:188-190). In the recompute-from-lineage world this is
+    a broadcast anti-join (the deleted-id set rides into each task) plus
+    the same store aggregation; count==0 rows simply never appear (D3 GC
+    is free). ``delete_ids`` must be driver-small (an explicit id list, as
+    in the reference's per-file/per-directory deletes); for huge deletes
+    use a bucketed anti-join instead.
+    """
+    ids = pa.array(sorted(delete_ids), pa.int64())
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch["file_id"], value_set=ids)))
+
+    return segment_store(recipe.map_batches(drop, batch_format="pyarrow"))
+
+
+def refcount_invariant(recipe: ray.data.Dataset,
+                       store: ray.data.Dataset) -> int:
+    """A6 analog (lib/dbCommon.cpp:192-202): recount the recipe and compare
+    with the stored counts; returns the number of mismatching hashes
+    (must be 0). EXCEPT-style set difference as an outer join + filter.
+    """
+    recount = (recipe.groupby("segment_hash")
+               .aggregate(Count(alias_name="recount")))
+    stored = store.select_columns(["segment_hash", "segment_count"])
+    joined = recount.join(stored, join_type="full_outer", num_partitions=8,
+                          on=("segment_hash",))
+    bad = joined.filter(
+        lambda r: r["recount"] != r["segment_count"])
+    return bad.count()

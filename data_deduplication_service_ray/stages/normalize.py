@@ -1,0 +1,45 @@
+"""Normalization stage: identity hash + empty-content guard.
+
+Reference parity:
+- per-row content digest = the preserved invariant (BASELINE.json
+  input_hint: "per-row invariant vs the reference: content sha256 equality");
+- empty-content rejection = the reference's empty-file guard
+  (include/FileService.h:372-377), which refuses 0-byte files at ingest.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from data_deduplication_service_ray.functions.hashing import sha256_hex
+
+
+def with_sha256(ds: ray.data.Dataset,
+                content_col: str = "content") -> ray.data.Dataset:
+    """Append ``content_sha256`` (lowercase hex, matches DuckDB sha256())."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        hexes = sha256_hex(batch[content_col].to_pylist())
+        return batch.append_column("content_sha256",
+                                   pa.array(hexes, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def drop_empty(ds: ray.data.Dataset,
+               content_col: str = "content") -> ray.data.Dataset:
+    """Filter rows with NULL or zero-length content (vectorized)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        mask = pc.and_(col.is_valid(), pc.greater(pc.utf8_length(col), 0))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def normalize(ds: ray.data.Dataset,
+              content_col: str = "content") -> ray.data.Dataset:
+    return with_sha256(drop_empty(ds, content_col), content_col)

@@ -1,0 +1,116 @@
+"""Segmenter unit tests — the reference's block-size edge cases.
+
+Mirrors test/files_service_IT/dbFile_load_delete_tests.cpp:65-117 fixtures:
+½ / 1 / 1½ / 32 blocks at segment 64, intra-file duplicate segments, empty
+content rejected.
+"""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.stages.segment import (
+    Segmenter, _cdc_segments, _fixed_segments)
+
+CFG = PipelineConfig(segment_size=64)
+
+
+def seg_table(texts, cfg=CFG, mode=None):
+    batch = pa.table({"file_id": pa.array(range(len(texts)), pa.int64()),
+                      "content": pa.array(texts, pa.string())})
+    return Segmenter(cfg, mode)(batch)
+
+
+def test_half_block():
+    out = seg_table(["a" * 32])
+    assert out["pos"].to_pylist() == [1]
+    assert out["segment"].to_pylist() == ["a" * 32]  # partial kept at length
+
+
+def test_one_block():
+    out = seg_table(["b" * 64])
+    assert out["pos"].to_pylist() == [1]
+    assert out["segment"].to_pylist() == ["b" * 64]
+
+
+def test_one_and_half_blocks():
+    out = seg_table(["b" * 64 + "c" * 32])
+    assert out["pos"].to_pylist() == [1, 2]
+    assert out["segment"].to_pylist() == ["b" * 64, "c" * 32]
+
+
+def test_32_blocks():
+    text = "x" * (64 * 32)
+    out = seg_table([text])
+    assert out.num_rows == 32
+    assert "".join(out["segment"].to_pylist()) == text
+
+
+def test_intra_file_duplicate_segments():
+    # reference fixture 1block.txt = 4x16 repeated digits => duplicate
+    # segments at segment_size=16
+    text = "0123456789abcdef" * 4
+    out = seg_table([text], CFG.with_(segment_size=16))
+    hashes = out["segment_hash"].to_pylist()
+    assert len(hashes) == 4 and len(set(hashes)) == 1
+
+
+def test_empty_content_rejected():
+    out = seg_table(["", "ab"])
+    assert out["file_id"].to_pylist() == [1]  # empty row 0 dropped
+
+
+def test_positions_one_based_and_hash_matches_sha256():
+    out = seg_table(["hello world " * 10])
+    assert out["pos"].to_pylist()[0] == 1
+    seg0 = out["segment"].to_pylist()[0]
+    assert out["segment_hash"].to_pylist()[0] == \
+        hashlib.sha256(seg0.encode()).hexdigest()
+
+
+def test_unicode_segments_split_on_chars():
+    text = "é" * 100  # 2 bytes per char; split must be char-based
+    out = seg_table([text])
+    segs = out["segment"].to_pylist()
+    assert [len(s) for s in segs] == [64, 36]
+    assert "".join(segs) == text
+
+
+@pytest.mark.parametrize("hash_name,fn", [
+    ("md5", hashlib.md5), ("sha512", hashlib.sha512)])
+def test_hash_registry_variants(hash_name, fn):
+    out = seg_table(["payload"], CFG.with_(segment_hash=hash_name))
+    assert out["segment_hash"].to_pylist()[0] == \
+        fn(b"payload").hexdigest()
+
+
+def test_cdc_roundtrip_and_determinism():
+    cfg = CFG.with_(shingle_mode="cdc")
+    text = "the quick brown fox jumps over the lazy dog " * 40
+    segs = _cdc_segments(text, cfg)
+    assert "".join(segs) == text
+    assert segs == _cdc_segments(text, cfg)
+    assert all(len(s.encode()) <= cfg.cdc_max for s in segs)
+
+
+def test_cdc_shift_resilience():
+    """A prefix insertion must not re-chunk the whole tail (the property
+    that motivates CDC over fixed-size segmentation)."""
+    import random
+
+    rng = random.Random(7)
+    cfg = CFG.with_(shingle_mode="cdc")
+    base = " ".join(
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 9)))
+        for _ in range(600))
+    shifted = "INSERTED-PREFIX " + base
+    a = set(_cdc_segments(base, cfg))
+    b = set(_cdc_segments(shifted, cfg))
+    assert len(a & b) >= 0.8 * len(a)
+
+
+def test_fixed_segments_match_python_slicing():
+    text = "abcdefghij"
+    assert _fixed_segments(text, 3) == ["abc", "def", "ghi", "j"]
