@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ...}
+
+--scaling runs the headline near-dup pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus the N→4N scaling efficiency (the sandbox evidence for the
+north_rule's two-cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _bench_queries(sf_dir: str) -> tuple[dict[str, float], int]:
+    """Run headline pipelines, return (per-query seconds, n_files)."""
+    from data_deduplication_service_ray import api
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+    from data_deduplication_service_ray.sources.readers import read_documents
+
+    timings: dict[str, float] = {}
+    n_files = read_documents(sf_dir).count()
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return n
+
+    run("exact_dedup", lambda: api.q_exact_dedup(sf_dir).count())
+    run("segment_store", lambda: api.q_segment_store(sf_dir).count())
+    run("dedup_report", lambda: api.q_dedup_report(sf_dir).count())
+    run("reconstruct", lambda: api.q_reconstruct(sf_dir).count())
+
+    p = NearDupPipeline(read_documents(sf_dir), api.CFG)
+    run("neardup_signatures", lambda: p.signatures().count())
+    run("neardup_candidates", lambda: p.candidate_pairs().count())
+    run("neardup_verify", lambda: p.verified_pairs().count())
+    run("neardup_clusters", lambda: p.clusters().count())
+    timings["neardup_total"] = round(
+        sum(timings[k] for k in ("neardup_signatures", "neardup_candidates",
+                                 "neardup_verify", "neardup_clusters")), 3)
+    return timings, n_files
+
+
+def _headline_only(sf_dir: str, num_cpus: int) -> dict:
+    """Full near-dup pipeline wall time (for --scaling subprocess runs)."""
+    _init_ray(num_cpus)
+    from data_deduplication_service_ray import api
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+    from data_deduplication_service_ray.sources.readers import read_documents
+
+    docs = read_documents(sf_dir)
+    n_files = docs.count()
+    t0 = time.perf_counter()
+    p = NearDupPipeline(docs, api.CFG)
+    p.clusters().count()
+    sec = time.perf_counter() - t0
+    import ray
+
+    ray.shutdown()
+    return {"sec": round(sec, 3), "n_files": n_files,
+            "files_per_sec": round(n_files / sec, 2),
+            "num_cpus": num_cpus}
+
+
+def main() -> None:
+    if "--headline-subprocess" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--headline-subprocess") + 1])
+        print(json.dumps(_headline_only(SF_DIR, cpus)))
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-subprocess", str(cpus)],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "GRAFT_SF_DIR": SF_DIR})
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr8 = results[8]["files_per_sec"]
+        thr32 = results[32]["files_per_sec"]
+        eff = (thr32 / thr8) / 4.0
+        print(json.dumps({
+            "metric": "neardup scaling efficiency 8→32 cpus",
+            "value": round(eff, 3), "unit": "efficiency",
+            "sf": SF_DIR, "throughput_8cpu": thr8,
+            "throughput_32cpu": thr32,
+            "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
+            "n_files": results[32]["n_files"]}))
+        return
+
+    _init_ray(NUM_CPUS)
+    t0 = time.perf_counter()
+    timings, n_files = _bench_queries(SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "dedup pipeline suite wall time",
+        "value": total, "unit": "sec", "queries": timings,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / timings["neardup_total"], 2)
+        if timings.get("neardup_total") else None}))
+
+
+if __name__ == "__main__":
+    main()

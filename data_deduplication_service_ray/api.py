@@ -102,6 +102,82 @@ def q_dir_listing(sf_dir: str):
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+# --------------------------------------------------------------------------
+# Near-duplicate pipeline queries (north-star). MinHash/LSH/SimHash are not
+# ANSI-SQL-expressible — those entries have no oracle (driver records a
+# rows-only check); their correctness gate is the pytest recall suite
+# (tests/test_neardup.py) against the blocked-exact oracle.
+# --------------------------------------------------------------------------
+
+def _neardup(sf_dir: str):
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+
+    return NearDupPipeline(read_documents(sf_dir), CFG)
+
+
+def q_minhash_signatures(sf_dir: str):
+    """MinHash(128)+SimHash-64 signatures per distinct document."""
+    return _neardup(sf_dir).signatures()
+
+
+def q_lsh_clusters(sf_dir: str):
+    """Full near-dup pipeline: (file_id, cluster_id) duplicate clusters."""
+    return _neardup(sf_dir).clusters()
+
+
+def q_neardup_pairs(sf_dir: str):
+    """Verified candidate pairs with exact Jaccard + SimHash Hamming."""
+    return _neardup(sf_dir).verified_pairs()
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact character-8-gram Jaccard for consecutive doc-id pairs.
+
+    SQL-expressible form of the pair verifier (deterministic pair list:
+    (doc_id, doc_id+1)), so the exact-Jaccard kernel itself is oracled
+    even though the LSH candidate generator cannot be.
+    """
+    k = 8
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    right = (read_documents(sf_dir, columns=["doc_id", "text"])
+             .map_batches(
+                 lambda t: pa.table({
+                     "file_id": pc.subtract(t["file_id"], 1),
+                     "content_b": t["content"]}),
+                 batch_format="pyarrow"))
+    joined = docs.join(right, join_type="inner",
+                       num_partitions=CFG.join_num_partitions,
+                       on=("file_id",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        jac = []
+        for ta, tb in zip(batch["content"].to_pylist(),
+                          batch["content_b"].to_pylist()):
+            sa = {ta[i:i + k] for i in range(max(len(ta) - k + 1, 1))}
+            sb = {tb[i:i + k] for i in range(max(len(tb) - k + 1, 1))}
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac.append(inter / union if union else 1.0)
+        return pa.table({
+            "file_id_a": batch["file_id"],
+            "file_id_b": pc.add(batch["file_id"], 1),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def q_containment(sf_dir: str):
+    """Substring containment among near-dup cluster members."""
+    from data_deduplication_service_ray.stages.containment import (
+        containment_in_clusters)
+
+    p = _neardup(sf_dir)
+    return containment_in_clusters(p.normalized(), p.clusters(),
+                                   num_partitions=CFG.join_num_partitions)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "segment_store": q_segment_store,
@@ -111,6 +187,11 @@ QUERIES = {
     "global_coefficient": q_global_coefficient,
     "delete_refcounts": q_delete_refcounts,
     "dir_listing": q_dir_listing,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_clusters": q_lsh_clusters,
+    "neardup_pairs": q_neardup_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "containment": q_containment,
 }
 
 
@@ -185,6 +266,33 @@ ORACLE_SQL = {
     "dir_listing": """
         SELECT doc_id AS file_id, source, lang
         FROM documents WHERE source LIKE 'src1%'
+    """,
+    "ngram_jaccard": """
+        WITH g AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(
+                     1, greatest(length(text) - 7, 1))) AS i
+          FROM documents
+        ), gsets AS (
+          SELECT DISTINCT doc_id,
+                 substring(text, CAST(i AS BIGINT), 8) AS gram
+          FROM g
+        ), counts AS (
+          SELECT doc_id, count(*) AS n FROM gsets GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM gsets a JOIN gsets b
+            ON b.doc_id = a.doc_id + 1 AND a.gram = b.gram
+          GROUP BY 1, 2
+        )
+        SELECT ca.doc_id AS file_id_a,
+               cb.doc_id AS file_id_b,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / CAST(ca.n + cb.n - coalesce(i.i, 0) AS DOUBLE)
+                   AS jaccard
+        FROM counts ca
+        JOIN counts cb ON cb.doc_id = ca.doc_id + 1
+        LEFT JOIN inter i ON i.ia = ca.doc_id
     """,
 }
 

@@ -1,0 +1,142 @@
+"""Distributed connected-components clustering over duplicate-pair edges.
+
+The reference's only cross-file mutable state is the refcounted segment
+store (ST2, lib/dbManager.cpp:549-554); the rebuild's analog for near-dup
+clustering is union-find over verified candidate edges (SURVEY.md §7.2).
+Two implementations, identical deterministic output (cluster id = minimum
+member file_id):
+
+- ``cluster_label_propagation``: the cluster-scale path. Iterative
+  min-label propagation expressed purely in Ray Data (join + groupby-min
+  per round, materialized between rounds). Converges in O(log diameter)
+  rounds; duplicate clusters are near-cliques from LSH buckets, so
+  diameter is tiny. Every round is a bounded shuffle over the *label*
+  table (nodes-with-edges only — never the corpus).
+- ``cluster_unionfind_stream``: the small-side path. Streams edge batches
+  to a single in-process union-find (edges ≪ corpus after verification).
+  Used when the edge set fits one process; the propagation path is the
+  default for bench/scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from data_deduplication_service_ray.functions.unionfind import UnionFind
+
+
+def _symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(a,b) edge list -> (src,dst) with both directions."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["a"].cast(pa.int64())
+        b = batch["b"].cast(pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(),
+                                     a.combine_chunks()]),
+        })
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def cluster_label_propagation(edges: ray.data.Dataset,
+                              max_rounds: int = 20,
+                              num_partitions: int = 8) -> ray.data.Dataset:
+    """Edges (a:int64, b:int64) -> labels (file_id, cluster_id).
+
+    Min-label propagation: every node repeatedly adopts the minimum label
+    among itself and its neighbors; fixpoint = connected components with
+    the min member id as the component label. Only nodes that appear in
+    at least one edge are returned — singletons are attached by
+    ``attach_singletons`` (keeps the label table proportional to the
+    duplicate population, not the corpus).
+    """
+    sym = _symmetrize(edges).materialize()
+    labels = (sym.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+              .map_batches(
+                  lambda t: pa.table({
+                      "node": t["src"],
+                      "label": pa.compute.min_element_wise(
+                          t["src"], t["nbr_min"])}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    for _ in range(max_rounds):
+        # neighbor labels: edges ⋈ labels on dst, propagate to src
+        lab_dst = labels.rename_columns({"node": "dst"})
+        prop = (sym.join(lab_dst, join_type="inner",
+                         num_partitions=num_partitions, on=("dst",))
+                .select_columns(["src", "label"])
+                .rename_columns({"src": "node"}))
+        new_labels = (prop.union(labels)
+                      .groupby("node")
+                      .aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        # labels are monotonically non-increasing; fixpoint when no change
+        diff = (new_labels.rename_columns({"label": "new_label"})
+                .join(labels, join_type="inner",
+                      num_partitions=num_partitions, on=("node",)))
+        changed = diff.filter(expr="new_label != label").count()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.rename_columns({"node": "file_id",
+                                  "label": "cluster_id"})
+
+
+def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Edges -> labels via one streamed union-find (small-edge-set path).
+
+    Iterates edge batches (never materializes more than a batch at once)
+    into a local union-find. Valid when the post-verification edge set
+    fits one process — the common case, since verified duplicate pairs
+    are a tiny fraction of the corpus; for larger edge sets use
+    ``cluster_label_propagation``.
+    """
+    uf = UnionFind()
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            uf.union(int(a), int(b))
+    lab = uf.labels()
+    if not lab:
+        return ray.data.from_arrow(pa.table({
+            "file_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
+    labels = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
+    order = np.argsort(nodes)
+    return ray.data.from_arrow(pa.table({
+        "file_id": pa.array(nodes[order]),
+        "cluster_id": pa.array(labels[order])}))
+
+
+def attach_singletons(labels: ray.data.Dataset,
+                      all_nodes: ray.data.Dataset,
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """Left-attach cluster ids to the full corpus: nodes without an edge
+    become their own singleton cluster (cluster_id = file_id)."""
+    joined = all_nodes.select_columns(["file_id"]).join(
+        labels, join_type="left_outer", num_partitions=num_partitions,
+        on=("file_id",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        cid = pa.compute.coalesce(batch["cluster_id"], batch["file_id"])
+        return pa.table({"file_id": batch["file_id"],
+                         "cluster_id": cid.cast(pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def cluster_sizes(labels: ray.data.Dataset) -> ray.data.Dataset:
+    """(cluster_id, size) report, duplicate clusters only (size > 1)."""
+    from ray.data.aggregate import Count
+
+    return (labels.groupby("cluster_id")
+            .aggregate(Count(alias_name="size"))
+            .filter(expr="size > 1"))

@@ -1,0 +1,229 @@
+"""Near-dup pipeline tests: kernel determinism, LSH math, the recall gate
+vs a blocked-exact oracle, clustering equivalence, containment.
+
+The recall gate mirrors BASELINE.json: dup-pair recall >= 0.99 against
+the set of pairs whose *exact* k-gram Jaccard clears the configured
+threshold (the "blocked-exact oracle" — brute-force pairwise over the
+small fixture corpus at the same shingle/signature config).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.functions import minhash as mh
+from data_deduplication_service_ray.functions.hashing import kgram_hashes
+from data_deduplication_service_ray.functions.suffix import (
+    containment_pairs, suffix_array)
+from data_deduplication_service_ray.functions.unionfind import UnionFind
+from data_deduplication_service_ray.pipelines.neardup import NearDupPipeline
+from data_deduplication_service_ray.sources.readers import read_corpus
+
+CFG = PipelineConfig(jaccard_threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# kernels (no Ray)
+# ---------------------------------------------------------------------------
+
+def test_minhash_deterministic_and_jaccard_estimate():
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 63, size=4000, dtype=np.uint64)
+    other = rng.integers(0, 1 << 63, size=4000, dtype=np.uint64)
+    seeds = mh.perm_seeds(128, 42)
+    assert np.array_equal(seeds, mh.perm_seeds(128, 42))
+    for overlap in (0.3, 0.7, 0.9):
+        k = int(4000 * overlap)
+        set_b = np.concatenate([base[:k], other[: 4000 - k]])
+        sig_a = mh.minhash_signature(base, seeds)
+        sig_b = mh.minhash_signature(set_b, seeds)
+        assert np.array_equal(sig_a, mh.minhash_signature(base, seeds))
+        true_j = mh.exact_jaccard(np.unique(base), np.unique(set_b))
+        est = mh.estimate_jaccard(sig_a, sig_b)
+        assert abs(est - true_j) < 0.15
+    # empty set -> sentinel signature
+    empty = mh.minhash_signature(np.empty(0, dtype=np.uint64), seeds)
+    assert (empty == np.iinfo(np.uint64).max).all()
+
+
+def test_simhash_similar_inputs_low_hamming():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 63, size=2000, dtype=np.uint64)
+    near = a.copy()
+    near[:40] = rng.integers(0, 1 << 63, size=40, dtype=np.uint64)
+    far = rng.integers(0, 1 << 63, size=2000, dtype=np.uint64)
+    sa_, sn, sf = (mh.simhash64(x) for x in (a, near, far))
+    d_near = mh.hamming64(np.array([sa_]), np.array([sn]))[0]
+    d_far = mh.hamming64(np.array([sa_]), np.array([sf]))[0]
+    assert d_near <= 8
+    assert d_far >= 16
+
+
+def test_band_hashes_batch_matches_single():
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 1 << 63, size=(10, 128), dtype=np.uint64)
+    batch = mh.band_hashes_batch(sigs, 32)
+    for i in range(10):
+        assert np.array_equal(batch[i], mh.band_hashes(sigs[i], 32))
+
+
+def test_lsh_config_meets_recall_target():
+    """The configured (bands, rows) must catch pairs at the verification
+    threshold with probability >= 0.995 (pipeline recall gate is 0.99)."""
+    p = mh.lsh_candidate_probability(
+        CFG.jaccard_threshold, CFG.lsh_bands, CFG.rows_per_band)
+    assert p >= 0.995
+
+
+def test_unionfind_min_labels():
+    uf = UnionFind()
+    for a, b in [(5, 3), (3, 9), (20, 21), (7, 7)]:
+        uf.union(a, b)
+    labels = uf.labels()
+    assert labels[5] == labels[3] == labels[9] == 3
+    assert labels[20] == labels[21] == 20
+    assert labels[7] == 7
+
+
+def test_suffix_array_matches_naive():
+    import random
+
+    rng = random.Random(11)
+    for _ in range(10):
+        s = "".join(rng.choice("abAB\n ") for _ in range(rng.randint(1, 300)))
+        assert list(suffix_array(s)) == sorted(
+            range(len(s)), key=lambda i: s[i:])
+
+
+def test_containment_pairs_kernel():
+    ids = [1, 2, 3]
+    texts = ["needle", "hay needle stack", "unrelated"]
+    assert containment_pairs(ids, texts) == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end over the planted corpus
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pipe(small_corpus_dir):
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    return NearDupPipeline(docs, CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(small_corpus_dir):
+    """Blocked-exact oracle: all pairs with exact k-gram Jaccard >= the
+    threshold (plus exact-duplicate pairs), brute-forced over the corpus
+    at the same shingle config."""
+    corpus = pq.read_table(f"{small_corpus_dir}/corpus.parquet")
+    from data_deduplication_service_ray.functions.hashing import stable_id64
+
+    rows = [(stable_id64(r, p, c), t) for r, p, c, t in zip(
+        corpus["repo"].to_pylist(), corpus["path"].to_pylist(),
+        corpus["commit"].to_pylist(), corpus["content"].to_pylist())
+        if t]
+    sets = [np.unique(kgram_hashes(t.encode("utf-8"), CFG.shingle_k))
+            for _, t in rows]
+    truth = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if mh.exact_jaccard(sets[i], sets[j]) >= CFG.jaccard_threshold:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                truth.add((a, b))
+    return truth
+
+
+def test_recall_gate(pipe, oracle_pairs):
+    assert len(oracle_pairs) >= 10, "fixture must plant enough dup pairs"
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in pipe.clusters().take_all()}
+    hit = sum(1 for a, b in oracle_pairs
+              if labels.get(a) is not None and labels[a] == labels.get(b))
+    recall = hit / len(oracle_pairs)
+    assert recall >= 0.99, f"recall {recall:.4f} over {len(oracle_pairs)}"
+
+
+def test_verified_pairs_are_exact_jaccard(pipe, small_corpus_dir):
+    """Accepted near edges must truly clear the threshold (no estimate
+    leakage): spot-check by recomputing Jaccard from contents."""
+    corpus = pq.read_table(f"{small_corpus_dir}/corpus.parquet")
+    from data_deduplication_service_ray.functions.hashing import stable_id64
+
+    text_by_id = {stable_id64(r, p, c): t for r, p, c, t in zip(
+        corpus["repo"].to_pylist(), corpus["path"].to_pylist(),
+        corpus["commit"].to_pylist(), corpus["content"].to_pylist())}
+    rows = pipe.near_edges().take_all()
+    assert rows, "planted corpus must yield near-dup edges"
+    for r in rows[:50]:
+        sa = np.unique(kgram_hashes(
+            text_by_id[r["a"]].encode("utf-8"), CFG.shingle_k))
+        sb = np.unique(kgram_hashes(
+            text_by_id[r["b"]].encode("utf-8"), CFG.shingle_k))
+        assert mh.exact_jaccard(sa, sb) >= CFG.jaccard_threshold
+
+
+def test_cluster_methods_agree(pipe):
+    lp = {r["file_id"]: r["cluster_id"]
+          for r in pipe.clusters("label_propagation").take_all()}
+    uf = {r["file_id"]: r["cluster_id"]
+          for r in pipe.clusters("unionfind").take_all()}
+    assert lp == uf
+
+
+def test_exact_dup_members_share_cluster(pipe, small_corpus_dir):
+    truth = pq.read_table(f"{small_corpus_dir}/truth.parquet").to_pandas()
+    corpus = pq.read_table(f"{small_corpus_dir}/corpus.parquet")
+    from data_deduplication_service_ray.functions.hashing import stable_id64
+
+    fids = [stable_id64(r, p, c) for r, p, c in zip(
+        corpus["repo"].to_pylist(), corpus["path"].to_pylist(),
+        corpus["commit"].to_pylist())]
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in pipe.clusters().take_all()}
+    for gid, grp in truth[truth.kind == "exact"].groupby("group_id"):
+        ids = [fids[i] for i in grp.file_idx]
+        assert len({labels[i] for i in ids}) == 1
+
+
+def test_signature_determinism(pipe, small_corpus_dir):
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    again = NearDupPipeline(docs, CFG)
+    s1 = {r["file_id"]: (tuple(r["minhash"]), r["simhash"])
+          for r in pipe.signatures().take_all()}
+    s2 = {r["file_id"]: (tuple(r["minhash"]), r["simhash"])
+          for r in again.signatures().take_all()}
+    assert s1 == s2
+
+
+def test_containment_stage_finds_planted(pipe, small_corpus_dir):
+    from data_deduplication_service_ray.stages.containment import (
+        containment_within_groups)
+
+    # group every doc into one bucket: small corpus, full exact pass
+    docs = pipe.normalized().map_batches(
+        lambda t: t.append_column(
+            "g", __import__("pyarrow").array([0] * t.num_rows)),
+        batch_format="pyarrow")
+    found = containment_within_groups(docs, group_col="g").take_all()
+    got = {(r["inner"], r["outer"]) for r in found}
+
+    corpus = pq.read_table(f"{small_corpus_dir}/corpus.parquet")
+    truth = pq.read_table(f"{small_corpus_dir}/truth.parquet").to_pandas()
+    from data_deduplication_service_ray.functions.hashing import stable_id64
+
+    fids = [stable_id64(r, p, c) for r, p, c in zip(
+        corpus["repo"].to_pylist(), corpus["path"].to_pylist(),
+        corpus["commit"].to_pylist())]
+    texts = corpus["content"].to_pylist()
+    planted = 0
+    for gid, grp in truth[truth.kind == "contain"].groupby("group_id"):
+        idx = list(grp.file_idx)
+        inner = min(idx, key=lambda i: len(texts[i]))
+        outer = max(idx, key=lambda i: len(texts[i]))
+        planted += 1
+        assert (fids[inner], fids[outer]) in got
+    assert planted >= 1
