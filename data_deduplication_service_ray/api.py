@@ -178,6 +178,113 @@ def q_containment(sf_dir: str):
                                    num_partitions=CFG.join_num_partitions)
 
 
+# --------------------------------------------------------------------------
+# Text analysis + similarity search (training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+_STATS_COLS = ["file_id", "n_chars", "n_lines", "n_tokens_ws",
+               "n_tokens_bpe", "n_punct", "n_stopwords", "stopword_ratio",
+               "punct_ratio", "alpha_ratio", "quality"]
+
+
+def q_text_stats(sf_dir: str):
+    """Token/line/punct counts + quality score per document."""
+    from data_deduplication_service_ray.stages import text
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return text.text_stats(docs).select_columns(_STATS_COLS)
+
+
+def q_quality_filter(sf_dir: str):
+    """Documents whose composite quality score clears 0.5."""
+    from data_deduplication_service_ray.stages import text
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return (text.quality_filter(docs, min_quality=0.5)
+            .select_columns(["file_id", "quality"]))
+
+
+def q_lang_id(sf_dir: str):
+    """Stopword-profile language identification per document."""
+    from data_deduplication_service_ray.stages import text
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return text.lang_id(docs).select_columns(
+        ["file_id", "hits_en", "hits_de", "hits_fr", "hits_es",
+         "lang_pred", "lang_confidence"])
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003)."""
+    from data_deduplication_service_ray.stages import text
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return text.fingerprints(docs, CFG)
+
+
+_KNN_QUERIES = 5
+_KNN_K = 10
+
+
+def q_embedding_knn(sf_dir: str):
+    """Brute-force cosine top-k over the embeddings table (parity-scored
+    so the cosine doubles match the DuckDB oracle bit-for-bit)."""
+    from data_deduplication_service_ray.stages import similarity
+
+    emb = read_embeddings(sf_dir)
+    return similarity.knn_brute(emb, list(range(_KNN_QUERIES)), k=_KNN_K,
+                                exact_parity=True)
+
+
+def q_cosine_pairs(sf_dir: str):
+    """All embedding pairs with cosine >= 0.35 (brute-force baseline)."""
+    from data_deduplication_service_ray.stages import similarity
+
+    return similarity.cosine_pairs_brute(read_embeddings(sf_dir), tau=0.35)
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Random-hyperplane LSH near-dup pairs over embeddings (scale path;
+    recall vs the brute oracle gated in pytest)."""
+    from data_deduplication_service_ray.stages import similarity
+
+    return similarity.embedding_neardup_pairs(
+        read_embeddings(sf_dir), dim=64, tau=0.9)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: document bytes as opaque media payloads
+    -> actor-pool (stubbed deterministic) decode -> real channel stats."""
+    from data_deduplication_service_ray.stages import multimodal as mm
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["content"].to_pylist()]
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch["file_id"],
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array([16] * n, pa.int64()),
+            "width": pa.array([16] * n, pa.int64()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return mm.image_features(mm.decode_images(media))
+
+
+def q_ivf_knn(sf_dir: str):
+    """IVF approximate top-k (nprobe-pruned; recall gated in pytest)."""
+    from data_deduplication_service_ray.stages import similarity
+
+    emb = read_embeddings(sf_dir)
+    cents = similarity.train_centroids(emb, n_centroids=16)
+    assigned = similarity.assign_centroids(emb, cents).materialize()
+    return similarity.ivf_search(assigned, cents,
+                                 list(range(_KNN_QUERIES)), k=_KNN_K)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "segment_store": q_segment_store,
@@ -192,6 +299,15 @@ QUERIES = {
     "neardup_pairs": q_neardup_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "containment": q_containment,
+    "text_stats": q_text_stats,
+    "quality_filter": q_quality_filter,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "embedding_knn": q_embedding_knn,
+    "cosine_pairs": q_cosine_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_knn": q_ivf_knn,
+    "image_features": q_image_features,
 }
 
 
@@ -295,6 +411,115 @@ ORACLE_SQL = {
         LEFT JOIN inter i ON i.ia = ca.doc_id
     """,
 }
+
+
+def _text_oracles() -> dict[str, str]:
+    """Text-analysis oracles built from the SAME probe constants as the
+    Ray stage (stages/text.py) — one source of truth for the regexes."""
+    from data_deduplication_service_ray.stages.text import (
+        _LANG_ORDER, _PROFILES, _word_alt_regex)
+
+    sw = _word_alt_regex(_PROFILES["en"])
+    counts_cte = f"""
+        WITH c AS (
+          SELECT doc_id AS file_id,
+            length(text) AS n_chars,
+            len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+            len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+            len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                AS n_tokens_bpe,
+            len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+            len(regexp_extract_all(text, '{sw}')) AS n_stopwords,
+            len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+          FROM documents
+        ), r AS (
+          SELECT *,
+            CASE WHEN n_tokens_ws = 0 THEN 0.0
+                 ELSE CAST(n_stopwords AS DOUBLE)
+                      / CAST(n_tokens_ws AS DOUBLE) END AS stopword_ratio,
+            CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(n_punct AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+            CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE CAST(n_alpha AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE) END AS alpha_ratio
+          FROM c
+        ), s AS (
+          SELECT *,
+            (LEAST(CAST(n_tokens_ws AS DOUBLE) / 256.0, 1.0)
+             + stopword_ratio
+             + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+             + alpha_ratio) / 4.0 AS quality
+          FROM r
+        )
+    """
+
+    hits = ",\n            ".join(
+        f"len(regexp_extract_all(text, '{_word_alt_regex(_PROFILES[l])}'))"
+        f" AS hits_{l}" for l in _LANG_ORDER)
+    case = """CASE
+            WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                 AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr >= hits_es THEN 'fr'
+            ELSE 'es' END"""
+
+    return {
+        "text_stats": counts_cte + """
+        SELECT file_id, n_chars, n_lines, n_tokens_ws, n_tokens_bpe,
+               n_punct, n_stopwords, stopword_ratio, punct_ratio,
+               alpha_ratio, quality
+        FROM s
+        """,
+        "quality_filter": counts_cte + """
+        SELECT file_id, quality FROM s WHERE quality >= 0.5
+        """,
+        "lang_id": f"""
+        WITH h AS (
+          SELECT doc_id AS file_id,
+            len(regexp_extract_all(text, '\\S+')) AS n_tok,
+            {hits}
+          FROM documents
+        )
+        SELECT file_id, hits_en, hits_de, hits_fr, hits_es,
+               {case} AS lang_pred,
+               CASE WHEN n_tok = 0 THEN 0.0
+                    ELSE CAST(GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                              AS DOUBLE) / CAST(n_tok AS DOUBLE) END
+                   AS lang_confidence
+        FROM h
+        """,
+        "embedding_knn": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding::DOUBLE[])
+                     AS cosine
+          FROM q, embeddings e WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+               cosine
+        FROM s
+        QUALIFY rank <= {_KNN_K}
+        """,
+        "cosine_pairs": """
+        WITH s AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT a, b, cosine FROM s WHERE cosine >= 0.35
+        """,
+    }
+
+
+ORACLE_SQL.update(_text_oracles())
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001") -> ray.data.Dataset:

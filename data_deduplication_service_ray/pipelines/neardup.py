@@ -38,19 +38,29 @@ from data_deduplication_service_ray.stages import exact, neardup, normalize
 class NearDupPipeline:
     def __init__(self, docs: ray.data.Dataset,
                  cfg: PipelineConfig | None = None,
-                 materialize: bool = True):
+                 materialize: bool = True,
+                 checkpoint_dir: str | None = None):
         self.cfg = cfg or PipelineConfig()
         self.docs = normalize.normalize(docs)
         self._materialize = materialize
+        self._checkpoint_dir = checkpoint_dir
         self._memo: dict[str, ray.data.Dataset] = {}
 
     def _stage(self, name: str, build: Callable[[], ray.data.Dataset]
                ) -> ray.data.Dataset:
         if name not in self._memo:
-            ds = build()
-            if self._materialize:
-                ds = ds.materialize()
-            self._memo[name] = ds
+            if self._checkpoint_dir is not None:
+                from data_deduplication_service_ray.state.checkpoint import (
+                    config_key, stage_checkpoint)
+
+                self._memo[name] = stage_checkpoint(
+                    self._checkpoint_dir, name, config_key(self.cfg),
+                    build)
+            else:
+                ds = build()
+                if self._materialize:
+                    ds = ds.materialize()
+                self._memo[name] = ds
         return self._memo[name]
 
     # -- exact layer ------------------------------------------------------
@@ -131,16 +141,19 @@ class NearDupPipeline:
         cluster_id = min member file_id — deterministic across runs,
         partitionings, and the N-vs-4N scaling configurations.
         """
-        edges = self.edges()
-        if method == "unionfind":
-            labels = cl.cluster_unionfind_stream(edges)
-        else:
-            labels = cl.cluster_label_propagation(
-                edges, max_rounds=self.cfg.max_label_rounds,
+        def build() -> ray.data.Dataset:
+            edges = self.edges()
+            if method == "unionfind":
+                labels = cl.cluster_unionfind_stream(edges)
+            else:
+                labels = cl.cluster_label_propagation(
+                    edges, max_rounds=self.cfg.max_label_rounds,
+                    num_partitions=self.cfg.join_num_partitions)
+            return cl.attach_singletons(
+                labels, self.normalized(),
                 num_partitions=self.cfg.join_num_partitions)
-        return cl.attach_singletons(
-            labels, self.normalized(),
-            num_partitions=self.cfg.join_num_partitions)
+
+        return self._stage(f"clusters_{method}", build)
 
     def cluster_report(self) -> ray.data.Dataset:
         return cl.cluster_sizes(self.clusters())

@@ -1,0 +1,135 @@
+"""Checkpoint/resume semantics + multimodal stage plumbing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.pipelines.neardup import NearDupPipeline
+from data_deduplication_service_ray.sources.readers import read_corpus
+from data_deduplication_service_ray.stages import multimodal as mm
+from data_deduplication_service_ray.state import checkpoint as ckpt
+
+CFG = PipelineConfig(jaccard_threshold=0.7)
+ROOT = "/tmp/dedup_ckpt_test"
+
+
+@pytest.fixture(scope="module")
+def ckpt_clusters(small_corpus_dir):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    pipe = NearDupPipeline(docs, CFG, checkpoint_dir=ROOT)
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in pipe.clusters().take_all()}
+    return labels
+
+
+def test_checkpoints_written(ckpt_clusters):
+    manifests = ckpt.read_manifests(ROOT)
+    for stage in ("normalized", "file_groups", "representatives",
+                  "signatures", "candidate_pairs", "verified_pairs",
+                  "edges", "clusters_label_propagation"):
+        assert stage in manifests, stage
+        m = manifests[stage]
+        assert m["rows"] == sum(f["rows"] for f in m["files"])
+        assert m["wall_sec"] >= 0
+
+
+def test_resume_skips_completed_stages(ckpt_clusters, small_corpus_dir):
+    mtimes = {}
+    for stage in os.listdir(ROOT):
+        d = os.path.join(ROOT, stage)
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            mtimes[p] = os.path.getmtime(p)
+
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    pipe2 = NearDupPipeline(docs, CFG, checkpoint_dir=ROOT)
+    labels2 = {r["file_id"]: r["cluster_id"]
+               for r in pipe2.clusters().take_all()}
+    assert labels2 == ckpt_clusters
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"{p} was rewritten on resume"
+
+
+def test_resume_rebuilds_after_partial_loss(ckpt_clusters,
+                                            small_corpus_dir):
+    """Simulate a crash that lost the tail stages: they rebuild from the
+    surviving checkpoints and produce identical output."""
+    for stage in ("verified_pairs", "edges", "clusters_label_propagation"):
+        shutil.rmtree(os.path.join(ROOT, stage), ignore_errors=True)
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    pipe = NearDupPipeline(docs, CFG, checkpoint_dir=ROOT)
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in pipe.clusters().take_all()}
+    assert labels == ckpt_clusters
+    assert "verified_pairs" in ckpt.read_manifests(ROOT)
+
+
+def test_config_change_invalidates(small_corpus_dir):
+    key_a = ckpt.config_key(CFG)
+    key_b = ckpt.config_key(CFG.with_(jaccard_threshold=0.8))
+    assert key_a != key_b
+    assert ckpt.is_complete(ROOT, "signatures", key_a)
+    assert not ckpt.is_complete(ROOT, "signatures", key_b)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_ds():
+    payloads = [bytes(range(256)) * (i + 4) for i in range(6)]
+    return ray.data.from_arrow(pa.table({
+        "media_id": pa.array(range(6), pa.int64()),
+        "media_type": pa.array(["image"] * 6, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "height": pa.array([32, 32, 16, 64, 8, 32], pa.int64()),
+        "width": pa.array([32, 16, 16, 64, 8, 32], pa.int64()),
+    }))
+
+
+def test_decode_deterministic(media_ds):
+    a = mm.decode_images(media_ds).take_all()
+    b = mm.decode_images(media_ds).take_all()
+    pix_a = {r["media_id"]: list(r["pixels"])[:64] for r in a}
+    pix_b = {r["media_id"]: list(r["pixels"])[:64] for r in b}
+    assert pix_a == pix_b
+    row = next(r for r in a if r["media_id"] == 0)
+    assert len(row["pixels"]) == 32 * 32 * 3
+
+
+def test_real_decoder_unavailable_raises(media_ds):
+    with pytest.raises((NotImplementedError, Exception)):
+        mm.decode_images(media_ds, decoder="real").take_all()
+
+
+def test_resize_and_features(media_ds):
+    decoded = mm.decode_images(media_ds).materialize()
+    resized = mm.resize_images(decoded, 8, 8).take_all()
+    for r in resized:
+        assert len(r["pixels"]) == 8 * 8 * 3
+        assert r["height"] == 8 and r["width"] == 8
+    feats = mm.image_features(decoded).take_all()
+    assert len(feats) == 6
+    for r in feats:
+        assert 0 <= r["mean_r"] <= 255
+        assert r["std_g"] >= 0
+
+
+def test_frame_sampling(media_ds):
+    frames = mm.sample_frames(media_ds, every_n=2, frame_bytes=128
+                              ).take_all()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    # media 0 payload = 1024 bytes -> 8 frames -> sampled 0,2,4,6
+    assert sorted(by_media[0]) == [0, 2, 4, 6]
+    for idxs in by_media.values():
+        assert all(i % 2 == 0 for i in idxs)
