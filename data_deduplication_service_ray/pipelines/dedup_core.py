@@ -20,6 +20,9 @@ class DedupCore:
 
     def __init__(self, docs: ray.data.Dataset,
                  cfg: PipelineConfig | None = None):
+        import data_deduplication_service_ray as _pkg
+
+        _pkg.configure_context()
         self.cfg = cfg or PipelineConfig()
         self.docs = normalize.drop_empty(docs)
 

@@ -15,22 +15,26 @@ otherwise form maximal hot buckets in every band (k² pair blowup for zero
 information). The exact-dup members rejoin their representative's cluster
 through the exact edges.
 
-Stage boundaries are **materialized** (``Dataset.materialize()`` — blocks
-live in the object store and spill to disk under pressure). This (a) gives
-each wide stage the whole machine instead of stacking every actor pool of
-a lazy diamond DAG at once, (b) stops the shared ``representatives``
-lineage from re-executing per consumer, and (c) is the in-memory analog of
-the per-stage Parquet checkpoints used for resumable runs
-(``state.checkpoint``); a ``checkpoint_dir`` makes them durable.
+Selected stage boundaries are **materialized** (``Dataset.materialize()``
+— blocks live in the object store and spill to disk under pressure):
+shuffle outputs and multiply-consumed stages only. This (a) keeps two
+hash-aggregate operators from sharing one streaming graph (their
+aggregator actors' CPU/memory reservations stack and thrash a small
+machine), (b) stops shared lineage (groups/signatures) from re-executing
+per consumer, and (c) is the in-memory analog of the per-stage Parquet
+checkpoints used for resumable runs (``state.checkpoint``); a
+``checkpoint_dir`` makes every stage durable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pyarrow as pa
 import ray.data
 
-from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.config import PipelineConfig, join_parts
 from data_deduplication_service_ray.stages import cluster as cl
 from data_deduplication_service_ray.stages import exact, neardup, normalize
 
@@ -40,14 +44,23 @@ class NearDupPipeline:
                  cfg: PipelineConfig | None = None,
                  materialize: bool = True,
                  checkpoint_dir: str | None = None):
+        import data_deduplication_service_ray as _pkg
+
+        _pkg.configure_context()
         self.cfg = cfg or PipelineConfig()
         self.docs = normalize.normalize(docs)
         self._materialize = materialize
         self._checkpoint_dir = checkpoint_dir
         self._memo: dict[str, ray.data.Dataset] = {}
 
-    def _stage(self, name: str, build: Callable[[], ray.data.Dataset]
-               ) -> ray.data.Dataset:
+    def _stage(self, name: str, build: Callable[[], ray.data.Dataset],
+               mat: bool = True) -> ray.data.Dataset:
+        """Memoized stage. ``mat=False`` keeps the stage LAZY (it fuses
+        into its consumer's streaming graph — no barrier, no object-store
+        copy); used for cheap maps/filters with a single consumer. Every
+        materialization barrier costs a fresh executor spin-up, so only
+        shuffle outputs and multiply-consumed stages earn one. Checkpoint
+        mode persists every stage regardless (resume granularity)."""
         if name not in self._memo:
             if self._checkpoint_dir is not None:
                 from data_deduplication_service_ray.state.checkpoint import (
@@ -58,7 +71,7 @@ class NearDupPipeline:
                     build)
             else:
                 ds = build()
-                if self._materialize:
+                if self._materialize and mat:
                     ds = ds.materialize()
                 self._memo[name] = ds
         return self._memo[name]
@@ -66,63 +79,88 @@ class NearDupPipeline:
     # -- exact layer ------------------------------------------------------
 
     def normalized(self) -> ray.data.Dataset:
-        return self._stage("normalized", lambda: self.docs)
+        return self._stage("normalized", lambda: self.docs, mat=False)
+
+    def groups(self) -> ray.data.Dataset:
+        """Fused exact layer: ONE groupby(content_sha256) carrying the
+        representative id, dup count, member list, and representative
+        content (exact.rep_groups) — representatives / file_groups /
+        exact_edges are cheap map views of this, replacing two joins."""
+        return self._stage(
+            "groups", lambda: exact.rep_groups(self.normalized()))
 
     def file_groups(self) -> ray.data.Dataset:
         """(content_sha256, file_id=representative, dup_count)."""
-        return self._stage(
-            "file_groups", lambda: exact.file_dedup(self.normalized()))
+        return self.groups().select_columns(
+            ["content_sha256", "file_id", "dup_count"])
 
     def representatives(self) -> ray.data.Dataset:
         """One (file_id, content) row per distinct content."""
-
-        def build() -> ray.data.Dataset:
-            reps = self.file_groups().select_columns(["file_id"])
-            slim = self.normalized().select_columns(["file_id", "content"])
-            return reps.join(slim, join_type="inner",
-                             num_partitions=self.cfg.join_num_partitions,
-                             on=("file_id",))
-
-        return self._stage("representatives", build)
+        return self.groups().select_columns(["file_id", "content"])
 
     def exact_edges(self) -> ray.data.Dataset:
         """member→representative edges inside exact-dup groups."""
 
-        def build() -> ray.data.Dataset:
-            reps = (self.file_groups()
-                    .select_columns(["content_sha256", "file_id"])
-                    .rename_columns({"file_id": "a"}))
-            members = self.normalized().select_columns(
-                ["file_id", "content_sha256"])
-            joined = members.join(
-                reps, join_type="inner",
-                num_partitions=self.cfg.join_num_partitions,
-                on=("content_sha256",))
-            return (joined.rename_columns({"file_id": "b"})
-                    .filter(expr="a != b")
-                    .select_columns(["a", "b"]))
+        def expand(batch: pa.Table) -> pa.Table:
+            col = batch["members"].combine_chunks()
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            values = np.asarray(col.values, dtype=np.int64)
+            reps = np.asarray(batch["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            sizes = np.diff(offsets)
+            aa, bb = [], []
+            for i in np.flatnonzero(sizes >= 2):
+                members = values[offsets[i]:offsets[i + 1]]
+                others = members[members != reps[i]]
+                aa.append(np.full(len(others), reps[i], dtype=np.int64))
+                bb.append(others)
+            if not aa:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            return pa.table({"a": pa.array(np.concatenate(aa)),
+                             "b": pa.array(np.concatenate(bb))})
 
-        return self._stage("exact_edges", build)
+        return self.groups().select_columns(
+            ["file_id", "members"]).map_batches(
+            expand, batch_format="pyarrow")
 
     # -- near-dup layer ---------------------------------------------------
 
     def signatures(self) -> ray.data.Dataset:
-        return self._stage(
-            "signatures",
-            lambda: neardup.signatures(self.representatives(), self.cfg))
+        def build() -> ray.data.Dataset:
+            # the join upstream leaves few (large) blocks; split them so
+            # the signature pool has at least one task per actor slot
+            # (repartition without shuffle = block split, no data movement)
+            reps = self.representatives().repartition(
+                2 * neardup._pool_max(self.cfg), shuffle=False)
+            return neardup.signatures(reps, self.cfg)
+
+        return self._stage("signatures", build)
 
     def candidate_pairs(self) -> ray.data.Dataset:
+        """Per-band candidate-pair occurrences (see
+        ``stages.neardup.candidate_pairs(distinct=False)``); the
+        estimate-prefilter in ``verified_pairs`` consumes occurrences and
+        dedups only the survivors."""
+
         def build() -> ray.data.Dataset:
             bands = neardup.band_rows(self.signatures(), self.cfg)
-            return neardup.candidate_pairs(bands, self.cfg)
+            return neardup.candidate_pairs(bands, self.cfg,
+                                           distinct=False)
 
+        # materialized: the bucket groupby and the survivor-dedup groupby
+        # (inside verified_pairs) must not share one streaming graph —
+        # two live hash-aggregate operators stack their aggregator
+        # reservations and thrash on a small machine
         return self._stage("candidate_pairs", build)
 
     def verified_pairs(self) -> ray.data.Dataset:
         return self._stage(
             "verified_pairs",
             lambda: neardup.verify_pairs(self.candidate_pairs(),
-                                         self.representatives(), self.cfg))
+                                         self.representatives(), self.cfg,
+                                         sigs=self.signatures(),
+                                         occurrences=True))
 
     def near_edges(self) -> ray.data.Dataset:
         return neardup.duplicate_edges(self.verified_pairs(), self.cfg)
@@ -132,28 +170,40 @@ class NearDupPipeline:
     def edges(self) -> ray.data.Dataset:
         return self._stage(
             "edges",
-            lambda: self.near_edges().union(self.exact_edges()))
+            lambda: self.near_edges().union(self.exact_edges()),
+            mat=False)
 
-    def clusters(self, method: str = "label_propagation"
-                 ) -> ray.data.Dataset:
+    def clusters(self, method: str = "auto") -> ray.data.Dataset:
         """(file_id, cluster_id) for every non-empty document.
 
         cluster_id = min member file_id — deterministic across runs,
-        partitionings, and the N-vs-4N scaling configurations.
+        partitionings, and the N-vs-4N scaling configurations (both
+        methods produce identical labels, so "auto" never changes the
+        answer, only the execution strategy).
+
+        method="auto" picks the streamed union-find while the verified
+        edge set is small (it is a tiny fraction of the corpus after
+        verification) and distributed label propagation beyond
+        ``cfg.unionfind_edge_limit`` edges.
         """
         def build() -> ray.data.Dataset:
             edges = self.edges()
-            if method == "unionfind":
+            chosen = method
+            if chosen == "auto":
+                chosen = ("unionfind"
+                          if edges.count() <= self.cfg.unionfind_edge_limit
+                          else "label_propagation")
+            if chosen == "unionfind":
                 labels = cl.cluster_unionfind_stream(edges)
             else:
                 labels = cl.cluster_label_propagation(
                     edges, max_rounds=self.cfg.max_label_rounds,
-                    num_partitions=self.cfg.join_num_partitions)
+                    num_partitions=join_parts(self.cfg))
             return cl.attach_singletons(
                 labels, self.normalized(),
-                num_partitions=self.cfg.join_num_partitions)
+                num_partitions=join_parts(self.cfg))
 
-        return self._stage(f"clusters_{method}", build)
+        return self._stage(f"clusters_{method}", build, mat=False)
 
     def cluster_report(self) -> ray.data.Dataset:
         return cl.cluster_sizes(self.clusters())

@@ -14,6 +14,12 @@ import ray.data
 from data_deduplication_service_ray.functions.hashing import stable_id64
 
 
+def _configure() -> None:
+    from data_deduplication_service_ray import configure_context
+
+    configure_context()
+
+
 def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
     """Read an input_hint-shaped corpus (repo,path,commit,lang,content)
     and derive ``file_id`` content-free from the natural key.
@@ -21,7 +27,11 @@ def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
     Replaces the reference's serial catalog ids (lib/dbManager.cpp:572-581)
     with a deterministic, coordination-free id — safe on a multi-node
     cluster where a global counter would serialize ingest.
+
+    Datasets capture the DataContext at creation, so the engine context
+    (hash-shuffle strategy) is applied HERE, before read_parquet.
     """
+    _configure()
     cols = columns or ["repo", "path", "commit", "lang", "content"]
     need = sorted(set(cols) | {"repo", "path", "commit"})
     ds = ray.data.read_parquet(path_or_dir, columns=need)
@@ -39,6 +49,7 @@ def read_documents(sf_dir: str, *, columns=None) -> ray.data.Dataset:
     """Read the driver testdata ``documents`` table canonicalized to the
     internal schema: doc_id -> file_id, text -> content; lang/source kept.
     """
+    _configure()
     cols = columns or ["doc_id", "text", "lang", "source"]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
@@ -54,4 +65,5 @@ def read_documents(sf_dir: str, *, columns=None) -> ray.data.Dataset:
 
 
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    _configure()
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

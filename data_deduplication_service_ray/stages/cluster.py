@@ -116,11 +116,65 @@ def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
         "cluster_id": pa.array(labels[order])}))
 
 
+#: Broadcast the label table into the attach step below this row count
+#: (labels cover only nodes with >=1 duplicate edge, a small fraction of
+#: any real corpus); past it, fall back to a left-outer hash join.
+BROADCAST_LABEL_LIMIT = 5_000_000
+
+
 def attach_singletons(labels: ray.data.Dataset,
                       all_nodes: ray.data.Dataset,
                       num_partitions: int = 8) -> ray.data.Dataset:
     """Left-attach cluster ids to the full corpus: nodes without an edge
-    become their own singleton cluster (cluster_id = file_id)."""
+    become their own singleton cluster (cluster_id = file_id).
+
+    The label table is the small side — broadcast it once and map over
+    the corpus (one streaming pass, no shuffle) unless it exceeds
+    ``BROADCAST_LABEL_LIMIT``."""
+    import ray as _ray
+
+    from ray.data.dataset import MaterializedDataset
+
+    n_labels = (labels.count()
+                if isinstance(labels, MaterializedDataset) else None)
+    if n_labels is None:
+        labels = labels.materialize()
+        n_labels = labels.count()
+
+    if n_labels <= BROADCAST_LABEL_LIMIT:
+        nodes_arr: list[np.ndarray] = []
+        labs_arr: list[np.ndarray] = []
+        for b in labels.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            nodes_arr.append(np.asarray(
+                b["file_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64))
+            labs_arr.append(np.asarray(
+                b["cluster_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64))
+        nodes = (np.concatenate(nodes_arr) if nodes_arr
+                 else np.empty(0, dtype=np.int64))
+        labs = (np.concatenate(labs_arr) if labs_arr
+                else np.empty(0, dtype=np.int64))
+        order = np.argsort(nodes)
+        handle = _ray.put((nodes[order], labs[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            snodes, slabs = _ray.get(handle)
+            fid = np.asarray(batch["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            cid = fid.copy()
+            if len(snodes):
+                pos = np.searchsorted(snodes, fid)
+                pos_c = np.minimum(pos, len(snodes) - 1)
+                hit = snodes[pos_c] == fid
+                cid[hit] = slabs[pos_c[hit]]
+            return pa.table({"file_id": pa.array(fid),
+                             "cluster_id": pa.array(cid)})
+
+        return all_nodes.select_columns(["file_id"]).map_batches(
+            attach, batch_format="pyarrow")
+
     joined = all_nodes.select_columns(["file_id"]).join(
         labels, join_type="left_outer", num_partitions=num_partitions,
         on=("file_id",))

@@ -61,6 +61,27 @@ def file_dedup(normalized: ray.data.Dataset) -> ray.data.Dataset:
                        Count(alias_name="dup_count")))
 
 
+def rep_groups(normalized: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE groupby(content_sha256) producing everything the near-dup
+    pipeline needs from the exact layer: (content_sha256, file_id=min
+    member, dup_count, members:list<int64>, content of the
+    representative).
+
+    Replaces a groupby + two joins (representatives, exact edges) with a
+    single shuffle — content rides it exactly once, and the fused output
+    is split into views by cheap downstream maps.
+    """
+    from data_deduplication_service_ray.functions.aggregates import (
+        CollectList, MinBy)
+
+    return (normalized
+            .groupby("content_sha256")
+            .aggregate(Min("file_id", alias_name="file_id"),
+                       Count(alias_name="dup_count"),
+                       CollectList("file_id", alias_name="members"),
+                       MinBy("file_id", "content", alias_name="content")))
+
+
 def delete_files(recipe: ray.data.Dataset,
                  delete_ids: set[int]) -> ray.data.Dataset:
     """Remove files and garbage-collect: recompute the store without them.

@@ -6,14 +6,16 @@ module holds the per-stage Ray Data transforms; ``pipelines.neardup``
 composes them.
 
 Scale notes (the parts the reference never had to solve, SURVEY.md §4):
-- signatures/verification are **actor pools** (``map_batches(Cls,
-  concurrency=N)``) — permutation seeds are built once per actor in
-  ``__init__``, and the verifier keeps a bounded per-actor shingle-set
-  cache so a document appearing in many candidate pairs is re-shingled
-  once per actor, not once per pair;
+- signatures/verification run as **task-based maps with per-process
+  stage caches** (setup-once semantics; seed tables are microseconds to
+  build, and tasks scale to every core with no pool ramp-up). The
+  actor-pool form is kept behind ``use_actors=True`` for genuinely
+  expensive per-worker state. The verifier's bounded per-process
+  shingle cache re-shingles a document once per worker, not once per
+  pair;
 - content never rides through the LSH shuffle — bands carry
-  ``(band_id, band_hash, file_id)`` only; content is re-joined strictly
-  for the verification of surviving candidates (SURVEY.md §7.4 wide rows);
+  ``(band_hash, file_id)`` only; content is attached strictly to
+  estimate-surviving candidates (SURVEY.md §7.4 wide rows);
 - hot buckets (boilerplate headers at 10^12-file scale) are **capped**:
   a bucket larger than ``bucket_cap`` emits a sorted-neighbor window of
   edges instead of all O(k²) pairs — connectivity for clustering is
@@ -29,7 +31,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max
 
-from data_deduplication_service_ray.config import PipelineConfig
+from data_deduplication_service_ray.config import PipelineConfig, join_parts
 from data_deduplication_service_ray.functions import minhash as mh
 from data_deduplication_service_ray.functions.aggregates import CollectList
 from data_deduplication_service_ray.stages.segment import shingle_array
@@ -38,6 +40,22 @@ from data_deduplication_service_ray.stages.segment import shingle_array
 def _as_i64(arr_u64: np.ndarray) -> pa.Array:
     """Reinterpret uint64 as int64 for Arrow/shuffle friendliness."""
     return pa.array(arr_u64.view(np.int64))
+
+
+def _pool_max(cfg: PipelineConfig) -> int:
+    """Actor-pool upper bound: explicit config, else every cluster CPU.
+
+    Pools autoscale from 1 actor, so sizing to the cluster keeps the
+    CPU-heavy stages from serializing on a fixed small pool (observed:
+    a pool of 8 flat-lined throughput from 8→32 CPUs)."""
+    if cfg.minhash_concurrency is not None:
+        return cfg.minhash_concurrency
+    try:
+        import ray
+
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 class SignatureStage:
@@ -56,7 +74,12 @@ class SignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["content"].to_pylist()
         shingle_sets = [shingle_array(t, self.cfg) for t in texts]
-        sigs = mh.minhash_signatures_batch(shingle_sets, self.seeds)
+        if self.cfg.minhash_scheme == "oph":
+            sigs = mh.oph_signatures_batch(shingle_sets,
+                                           self.cfg.num_perms,
+                                           self.cfg.seed)
+        else:
+            sigs = mh.minhash_signatures_batch(shingle_sets, self.seeds)
         simhashes = np.array([mh.simhash64(s) for s in shingle_sets],
                              dtype=np.uint64)
         n = np.array([len(s) for s in shingle_sets], dtype=np.int64)
@@ -70,19 +93,50 @@ class SignatureStage:
         })
 
 
+#: Per-worker-process stage cache for the task-based signature path:
+#: worker processes are long-lived, so the (cheap) seed table is built
+#: once per process — the actor-pool "setup in __init__" semantics
+#: without the pool's ramp-up serialization. PipelineConfig is a frozen
+#: (hashable) dataclass, so it keys the cache directly.
+_SIG_STAGE_CACHE: dict[PipelineConfig, "SignatureStage"] = {}
+
+
+def signature_batch(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
+    stage = _SIG_STAGE_CACHE.get(cfg)
+    if stage is None:
+        stage = _SIG_STAGE_CACHE.setdefault(cfg, SignatureStage(cfg))
+    return stage(batch)
+
+
 def signatures(docs: ray.data.Dataset, cfg: PipelineConfig,
-               concurrency: int | None = None) -> ray.data.Dataset:
-    # autoscaling pool (min 1): a fixed-size pool would pre-reserve CPUs
-    # and can deadlock a multi-pool pipeline on a small machine
+               concurrency: int | None = None,
+               use_actors: bool = False) -> ray.data.Dataset:
+    """Signature stage. Default: task-based map with a per-process stage
+    cache (state here is a microsecond seed table — tasks scale to every
+    core with zero pool ramp-up). ``use_actors=True`` switches to an
+    autoscaling actor pool — the right shape when per-worker setup is
+    genuinely expensive (model weights, big dictionaries)."""
+    if use_actors:
+        # autoscaling pool (min 1): a fixed-size pool would pre-reserve
+        # CPUs and can deadlock a multi-pool pipeline on a small machine
+        return docs.map_batches(
+            SignatureStage, fn_constructor_args=(cfg,),
+            batch_format="pyarrow", batch_size=cfg.sig_batch_size,
+            concurrency=(1, concurrency or _pool_max(cfg)))
+    import functools
+
     return docs.map_batches(
-        SignatureStage, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(1, concurrency or cfg.minhash_concurrency))
+        functools.partial(signature_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.sig_batch_size)
 
 
 def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
               ) -> ray.data.Dataset:
-    """Signatures -> (band_id:int32, band_hash:int64, file_id) flat rows."""
+    """Signatures -> (band_hash:int64, file_id) flat rows.
+
+    The band index is already mixed INTO band_hash (band_hashes xors a
+    per-band seed before the final mix), so the bucket shuffle key is a
+    single int64 — no separate band_id column rides the shuffle."""
     bands = cfg.lsh_bands
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -95,8 +149,6 @@ def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
         fid = np.asarray(batch["file_id"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         return pa.table({
-            "band_id": pa.array(
-                np.tile(np.arange(bands, dtype=np.int32), n)),
             "band_hash": _as_i64(bh.reshape(-1)),
             "file_id": pa.array(np.repeat(fid, bands)),
         })
@@ -104,59 +156,164 @@ def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
     return sigs.map_batches(expand, batch_format="pyarrow")
 
 
-def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
-                    num_partitions: int | None = None) -> ray.data.Dataset:
-    """LSH buckets -> distinct candidate pairs (a<b).
+def detect_hot_keys(bands: ray.data.Dataset, cap: int,
+                    num_blocks_hint: int = 64) -> np.ndarray:
+    """Two-phase heavy-hitter detection for LSH bucket keys.
 
-    groupby (band_id, band_hash) is THE near-dup shuffle (the analog of
-    the reference's global upsert shuffle, lib/dbManager.cpp:274-281).
-    Buckets over ``bucket_cap`` emit a sorted-neighbor window
-    (``bucket_window`` edges per member) instead of all pairs.
-    Pair distinctness across bands via a second groupby on (a, b), which
-    also yields the band-support count ``n_bands``.
+    Phase 1 (vectorized, per block): Arrow ``group_by.count`` inside
+    ``map_batches``, keep only keys whose BLOCK-LOCAL count clears
+    cap/num_blocks_hint (a globally-hot key must be locally frequent in
+    at least one of ~num_blocks blocks — random placement makes evasion
+    vanishingly unlikely at cap≥64). Phase 2: exact count of the few
+    surviving keys. Returns the sorted hot keys (approx-count > cap).
+
+    Avoids any per-group Python over the full key space — a CollectList
+    or Count aggregate over ~10M mostly-singleton buckets measured ~6µs
+    of Python per row; this path touches only heavy candidates.
+    """
+    local_cut = max(2, cap // max(num_blocks_hint, 1))
+
+    def local_heavy(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("band_hash").aggregate([("file_id", "count")])
+        mask = pc.greater_equal(agg["file_id_count"],
+                                pa.scalar(local_cut))
+        return agg.filter(mask).rename_columns(["band_hash", "cnt"])
+
+    heavy = bands.map_batches(local_heavy, batch_format="pyarrow",
+                              batch_size=None)
+    candidates = {r["band_hash"] for r in heavy.take_all()}
+    if not candidates:
+        return np.empty(0, dtype=np.int64)
+
+    # phase 2: EXACT global counts of the candidate keys only — the hot
+    # set must not depend on block layout (the 8-CPU and 32-CPU runs lay
+    # blocks out differently, and a layout-dependent hot set makes the
+    # emitted pair set nondeterministic)
+    cand_arr = pa.array(sorted(candidates), pa.int64())
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch["band_hash"],
+                                    value_set=cand_arr))
+        agg = sub.group_by("band_hash").aggregate([("file_id", "count")])
+        return agg.rename_columns(["band_hash", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    totals = (bands.map_batches(count_candidates, batch_format="pyarrow",
+                                batch_size=None)
+              .groupby("band_hash")
+              .aggregate(Sum("cnt", alias_name="total")))
+    hot = totals.filter(expr=f"total > {cap}")
+    keys = [r["band_hash"] for r in hot.take_all()]
+    return np.sort(np.asarray(keys, dtype=np.int64))
+
+
+def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
+                    num_partitions: int | None = None,
+                    distinct: bool = True) -> ray.data.Dataset:
+    """LSH buckets -> candidate pairs (a<b).
+
+    The bucket pairing is THE near-dup shuffle (the analog of the
+    reference's global upsert shuffle, lib/dbManager.cpp:274-281),
+    executed as an Arrow C++ hash SELF-JOIN on ``band_hash``: all-pairs
+    within each bucket, no per-group Python. Hot keys (bucket > cap,
+    e.g. boilerplate at 10^12-file scale) are detected first with a
+    two-phase heavy-hitter pass and EXCLUDED from the join — they would
+    blow up O(k²) — and instead emit a sorted-neighbor window of edges
+    (``bucket_window`` per member): connectivity for clustering is
+    preserved, cost is O(k·w), truncation is explicit (``capped``).
+
+    ``distinct=True`` adds a global groupby on (a, b) yielding one row
+    per pair with the band-support count. ``distinct=False`` returns raw
+    per-band occurrences (a pair colliding in B bands appears B times) —
+    the fast path for the pipeline, where the cheap vectorized
+    estimate-prefilter runs on occurrences and only the tiny surviving
+    set pays for a distinct groupby.
     """
     cap, window = cfg.bucket_cap, cfg.bucket_window
+    nparts = num_partitions or join_parts(cfg)
 
-    buckets = (bands.groupby(["band_id", "band_hash"])
-               .aggregate(CollectList("file_id", alias_name="ids")))
+    bands = bands.materialize()
+    hot_keys = detect_hot_keys(bands, cap)
 
-    def expand_pairs(batch: pa.Table) -> pa.Table:
-        aa: list[np.ndarray] = []
-        bb: list[np.ndarray] = []
-        capped: list[np.ndarray] = []
-        for ids in batch["ids"].to_pylist():
-            k = len(ids)
-            if k < 2:
-                continue
-            ids_arr = np.sort(np.asarray(ids, dtype=np.int64))
-            if k <= cap:
-                iu = np.triu_indices(k, 1)
-                aa.append(ids_arr[iu[0]])
-                bb.append(ids_arr[iu[1]])
-                capped.append(np.zeros(len(iu[0]), dtype=bool))
-            else:
-                # hot bucket: neighbor-window edges keep the component
-                # connected at O(k*window) cost; truncation is explicit
-                pairs_a, pairs_b = [], []
+    if len(hot_keys):
+        hot_arr = pa.array(hot_keys)
+
+        def split_cold(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(pc.is_in(
+                batch["band_hash"], value_set=hot_arr)))
+
+        def split_hot(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["band_hash"],
+                                         value_set=hot_arr))
+
+        cold = bands.map_batches(split_cold, batch_format="pyarrow")
+        hot = bands.map_batches(split_hot, batch_format="pyarrow")
+    else:
+        cold, hot = bands, None
+
+    # ---- cold path: arrow hash self-join, all pairs within bucket ----
+    left = cold.rename_columns({"file_id": "a"})
+    right = cold.rename_columns({"file_id": "b"})
+    joined = left.join(right, join_type="inner", num_partitions=nparts,
+                       on=("band_hash",))
+
+    def finish_cold(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["a"], batch["b"])
+        out = batch.filter(keep)
+        return pa.table({
+            "a": out["a"], "b": out["b"],
+            "capped": pa.array(np.zeros(out.num_rows, dtype=bool))})
+
+    pairs = joined.map_batches(finish_cold, batch_format="pyarrow")
+
+    # ---- hot path: window edges from the few heavy buckets ----------
+    if hot is not None:
+        hot_buckets = (hot.groupby("band_hash")
+                       .aggregate(CollectList("file_id",
+                                              alias_name="ids")))
+
+        def expand_hot(batch: pa.Table) -> pa.Table:
+            aa, bb = [], []
+            col = batch["ids"].combine_chunks()
+            offsets = np.asarray(col.offsets, dtype=np.int64)
+            values = np.asarray(col.values, dtype=np.int64)
+            for i in range(batch.num_rows):
+                ids_arr = np.sort(values[offsets[i]:offsets[i + 1]])
                 for j in range(1, window + 1):
-                    pairs_a.append(ids_arr[:-j])
-                    pairs_b.append(ids_arr[j:])
-                aa.append(np.concatenate(pairs_a))
-                bb.append(np.concatenate(pairs_b))
-                capped.append(np.ones(sum(len(p) for p in pairs_a),
-                                      dtype=bool))
-        if not aa:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "capped": pa.array([], pa.bool_())})
-        return pa.table({"a": pa.array(np.concatenate(aa)),
-                         "b": pa.array(np.concatenate(bb)),
-                         "capped": pa.array(np.concatenate(capped))})
+                    if j < len(ids_arr):
+                        aa.append(ids_arr[:-j])
+                        bb.append(ids_arr[j:])
+            if not aa:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "capped": pa.array([], pa.bool_())})
+            a_all = np.concatenate(aa)
+            return pa.table({
+                "a": pa.array(a_all),
+                "b": pa.array(np.concatenate(bb)),
+                "capped": pa.array(np.ones(len(a_all), dtype=bool))})
 
-    pairs = buckets.map_batches(expand_pairs, batch_format="pyarrow")
-    return (pairs.groupby(["a", "b"])
+        pairs = pairs.union(
+            hot_buckets.map_batches(expand_hot, batch_format="pyarrow"))
+
+    if not distinct:
+        return pairs
+    return distinct_pairs(pairs)
+
+
+def distinct_pairs(occurrences: ray.data.Dataset) -> ray.data.Dataset:
+    """Pair occurrences -> one row per (a, b) with n_bands support,
+    ``capped`` if any contributing bucket was capped, and the minimum of
+    any per-occurrence score columns (they are identical per pair)."""
+    from ray.data.aggregate import Min
+
+    extra = [Min(c, alias_name=c)
+             for c in occurrences.schema().names
+             if c not in ("a", "b", "capped")]
+    return (occurrences.groupby(["a", "b"])
             .aggregate(Count(alias_name="n_bands"),
-                       Max("capped", alias_name="capped")))
+                       Max("capped", alias_name="capped"), *extra))
 
 
 class VerifyStage:
@@ -202,36 +359,232 @@ class VerifyStage:
             # pass over grouped content covers the cross-pair case;
             # within a verified pair the two-way scan is exact and cheap)
             contained[i] = (at in bt) or (bt in at)
-        out = batch.select(["a", "b", "n_bands", "capped"])
+        out = batch.drop_columns(["content_a", "content_b"])
         out = out.append_column("jaccard", pa.array(jac))
         out = out.append_column("hamming", pa.array(ham))
         out = out.append_column("contained", pa.array(contained))
         return out
 
 
+def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
+                     payload: str, out_prefix: str,
+                     nparts: int) -> ray.data.Dataset:
+    """pairs(a,b,...) ⋈ table(file_id, payload) on a then b."""
+    left = (pairs.rename_columns({"a": "file_id"})
+            .join(table, join_type="inner", num_partitions=nparts,
+                  on=("file_id",))
+            .rename_columns({"file_id": "a", payload: f"{out_prefix}_a"}))
+    return (left.rename_columns({"b": "file_id"})
+            .join(table, join_type="inner", num_partitions=nparts,
+                  on=("file_id",))
+            .rename_columns({"file_id": "b", payload: f"{out_prefix}_b"}))
+
+
+#: Broadcast the signature table into est-filter tasks below this row
+#: count (128 perms × 8 B ≈ 1 KiB/row → ~1 GiB at the limit); above it,
+#: fall back to hash joins. At cluster scale the limit keeps the
+#: broadcast bounded regardless of corpus size.
+BROADCAST_SIG_LIMIT = 1_000_000
+
+
+def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
+                    cfg: PipelineConfig,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """Signature-estimate prefilter: drop candidates whose MinHash-estimated
+    Jaccard is more than ``est_prefilter_margin`` below the verification
+    threshold BEFORE the (expensive) content joins.
+
+    LSH banding admits many low-J pairs (hot boilerplate buckets); at 128
+    perms the estimate is tight enough that a 4σ margin is lossless in
+    practice, and the surviving candidate set — not the raw bucket
+    blowup — pays for content shipping.
+
+    Small signature tables are broadcast ONCE via ``ray.put`` and looked
+    up per batch (no shuffle at all); past ``BROADCAST_SIG_LIMIT`` rows
+    the filter switches to two hash joins with signatures packed as
+    fixed-width binary (Arrow joins reject list payloads).
+    """
+    nparts = num_partitions or join_parts(cfg)
+    cut = cfg.jaccard_threshold - cfg.est_prefilter_margin
+
+    from ray.data.dataset import MaterializedDataset
+
+    n_sigs = (sigs.count()
+              if isinstance(sigs, MaterializedDataset) else None)
+    if n_sigs is not None and n_sigs <= BROADCAST_SIG_LIMIT:
+        import ray
+
+        tbl = pa.concat_tables(
+            [b for b in sigs.select_columns(["file_id", "minhash"])
+             .iter_batches(batch_format="pyarrow", batch_size=None)])
+        ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        mat = np.asarray(
+            tbl["minhash"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False),
+            dtype=np.int64).reshape(len(ids), cfg.num_perms)
+        order = np.argsort(ids)
+        handle = ray.put((ids[order], mat[order]))
+
+        def score_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("est",
+                                           pa.array([], pa.float64()))
+            sids, smat = ray.get(handle)
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            # score each UNIQUE (a,b) once, scatter back via inverse:
+            # the same pair repeats across bands within a block (hot
+            # windows especially), and the signature gather is the
+            # bandwidth-heavy part. Rows/columns are untouched, so
+            # n_bands/capped stay exact and layout-independent.
+            ab = np.stack([a, b], axis=1)
+            uniq, inverse = np.unique(ab, axis=0, return_inverse=True)
+            ia = np.searchsorted(sids, uniq[:, 0])
+            ib = np.searchsorted(sids, uniq[:, 1])
+            est_u = (smat[ia] == smat[ib]).mean(axis=1)
+            est = est_u[inverse]
+            out = batch.append_column("est", pa.array(est, pa.float64()))
+            return out.filter(pa.array(est >= cut))
+
+        # join outputs leave ~join_parts big blocks; split them so the
+        # (memory-bandwidth-heavy) signature-gather map uses every core
+        pairs = pairs.repartition(4 * _pool_max(cfg), shuffle=False)
+        return pairs.map_batches(score_bcast, batch_format="pyarrow")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = np.asarray(
+            batch["minhash"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+        blobs = [mat[i * cfg.num_perms:(i + 1) * cfg.num_perms].tobytes()
+                 for i in range(n)]
+        return pa.table({"file_id": batch["file_id"],
+                         "sig": pa.array(blobs, pa.binary())})
+
+    packed = sigs.select_columns(["file_id", "minhash"]).map_batches(
+        pack, batch_format="pyarrow")
+    both = _join_both_sides(pairs, packed, "sig", "sig", nparts)
+    cut = cfg.jaccard_threshold - cfg.est_prefilter_margin
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.drop_columns(["sig_a", "sig_b"]).append_column(
+                "est", pa.array([], pa.float64()))
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                           dtype=np.int64).reshape(n, cfg.num_perms)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                           dtype=np.int64).reshape(n, cfg.num_perms)
+        est = (sa == sb).mean(axis=1)
+        out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
+            "est", pa.array(est, pa.float64()))
+        return out.filter(pa.array(est >= cut))
+
+    return both.map_batches(score, batch_format="pyarrow")
+
+
 def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                  cfg: PipelineConfig,
-                 num_partitions: int | None = None) -> ray.data.Dataset:
-    """Join both contents onto candidate pairs and score them.
+                 sigs: ray.data.Dataset | None = None,
+                 num_partitions: int | None = None,
+                 occurrences: bool = False) -> ray.data.Dataset:
+    """Score candidate pairs: estimate-prefilter (if signatures given),
+    then attach both contents and compute exact Jaccard / Hamming /
+    containment.
 
-    Two hash joins on file_id (content rides each join exactly once);
-    at cluster scale the docs side is the big relation and the pairs side
-    is small — Ray's hash join partitions both on the key.
+    Content attachment (broadcast fetch or hash joins) runs only over
+    estimate-surviving pairs — the raw LSH bucket blowup never touches
+    the wide content column. ``occurrences=True`` marks per-band
+    pair-occurrence input (``candidate_pairs(distinct=False)``): the
+    surviving occurrences are deduped after the prefilter.
     """
-    nparts = num_partitions or cfg.join_num_partitions
+    nparts = num_partitions or join_parts(cfg)
+    if sigs is not None:
+        pairs = estimate_filter(pairs, sigs, cfg, nparts)
+        if occurrences:
+            pairs = distinct_pairs(pairs)
+        # ONE barrier after the prefilter: separates any est-filter join
+        # graph from the content joins (aggregator reservations must not
+        # stack) and gives the broadcast content fetch a counted input
+        pairs = pairs.materialize()
+
     slim = docs.select_columns(["file_id", "content"])
-    left = (pairs.rename_columns({"a": "file_id"})
-            .join(slim, join_type="inner", num_partitions=nparts,
-                  on=("file_id",))
-            .rename_columns({"file_id": "a", "content": "content_a"}))
-    both = (left.rename_columns({"b": "file_id"})
-            .join(slim, join_type="inner", num_partitions=nparts,
-                  on=("file_id",))
-            .rename_columns({"file_id": "b", "content": "content_b"}))
+    both = _fetch_pair_contents(pairs, slim, nparts)
+    import functools
+
     return both.map_batches(
-        VerifyStage, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(1, cfg.minhash_concurrency))
+        functools.partial(verify_batch, cfg=cfg),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+
+
+_VERIFY_STAGE_CACHE: dict[PipelineConfig, "VerifyStage"] = {}
+
+
+def verify_batch(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
+    """Task-based verifier with a per-process stage (and shingle) cache —
+    see ``signature_batch`` for the pattern rationale."""
+    stage = _VERIFY_STAGE_CACHE.get(cfg)
+    if stage is None:
+        stage = _VERIFY_STAGE_CACHE.setdefault(cfg, VerifyStage(cfg))
+    return stage(batch)
+
+
+#: Broadcast pair contents when at most this many pairs survived the
+#: prefilter; beyond it (or when the pair count is unknown because the
+#: input is lazy), use hash joins.
+BROADCAST_PAIR_LIMIT = 100_000
+
+
+def _fetch_pair_contents(pairs: ray.data.Dataset,
+                         slim_docs: ray.data.Dataset,
+                         nparts: int) -> ray.data.Dataset:
+    """Attach content_a/content_b to pairs.
+
+    Small pair sets: collect the referenced file_ids, FILTER the doc
+    table in one streaming pass (no shuffle), broadcast the id→content
+    map via ``ray.put``, and attach per batch. Large pair sets: two hash
+    joins (content rides each exactly once).
+    """
+    import ray
+
+    from ray.data.dataset import MaterializedDataset
+
+    n_pairs = (pairs.count()
+               if isinstance(pairs, MaterializedDataset) else None)
+    if n_pairs is not None and n_pairs <= BROADCAST_PAIR_LIMIT:
+        needed: set[int] = set()
+        for b in pairs.select_columns(["a", "b"]).iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            needed.update(b["a"].to_pylist())
+            needed.update(b["b"].to_pylist())
+        id_arr = pa.array(sorted(needed), pa.int64())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["file_id"],
+                                         value_set=id_arr))
+
+        content: dict[int, str] = {}
+        for b in slim_docs.map_batches(
+                keep, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+            content.update(zip(b["file_id"].to_pylist(),
+                               b["content"].to_pylist()))
+        handle = ray.put(content)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(handle)
+            ca = [lookup[i] for i in batch["a"].to_pylist()]
+            cb = [lookup[i] for i in batch["b"].to_pylist()]
+            return (batch
+                    .append_column("content_a", pa.array(ca, pa.string()))
+                    .append_column("content_b", pa.array(cb, pa.string())))
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
+    return _join_both_sides(pairs, slim_docs, "content", "content", nparts)
 
 
 def duplicate_edges(verified: ray.data.Dataset,

@@ -32,7 +32,8 @@ def reconstruct(recipe: ray.data.Dataset, store: ray.data.Dataset,
     aggregate (measured ~40x faster than groupby().map_groups on the
     500-doc smoke corpus).
     """
-    nparts = (cfg or PipelineConfig()).join_num_partitions
+    from data_deduplication_service_ray.config import join_parts
+    nparts = join_parts(cfg or PipelineConfig())
     recipe_slim = recipe.select_columns(["file_id", "pos", "segment_hash"])
     store_slim = store.select_columns(["segment_hash", "segment"])
     joined = recipe_slim.join(store_slim, join_type="inner",

@@ -294,16 +294,19 @@ def embedding_neardup_pairs(embeddings: ray.data.Dataset, dim: int,
                          dtype=np.int64)
         if len(mat) == 0:
             return pa.table({
-                "band_id": pa.array([], pa.int32()),
                 "band_hash": pa.array([], pa.int64()),
                 "file_id": pa.array([], pa.int64())})
         bits = ((mat @ r) > 0).astype(np.uint64)       # (n, n_bits)
         vals = (bits.reshape(len(mat), n_bands, band_bits)
                 * weights[None, None, :]).sum(axis=2).astype(np.uint64)
+        # mix the band index into the bucket key (single-key shuffle)
+        from data_deduplication_service_ray.functions.hashing import (
+            splitmix64)
+
+        mixed = splitmix64(
+            vals ^ np.arange(n_bands, dtype=np.uint64)[None, :])
         return pa.table({
-            "band_id": pa.array(
-                np.tile(np.arange(n_bands, dtype=np.int32), len(mat))),
-            "band_hash": pa.array(vals.reshape(-1).view(np.int64)),
+            "band_hash": pa.array(mixed.reshape(-1).view(np.int64)),
             "file_id": pa.array(np.repeat(ids, n_bands)),
         })
 

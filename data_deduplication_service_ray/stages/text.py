@@ -200,7 +200,9 @@ class FingerprintStage:
 
 def fingerprints(docs: ray.data.Dataset, cfg: PipelineConfig,
                  window: int = 16) -> ray.data.Dataset:
+    from data_deduplication_service_ray.stages.neardup import _pool_max
+
     return docs.map_batches(
         FingerprintStage, fn_constructor_args=(cfg, window),
         batch_format="pyarrow", batch_size=cfg.batch_size,
-        concurrency=(1, cfg.minhash_concurrency))
+        concurrency=(1, _pool_max(cfg)))

@@ -31,9 +31,9 @@ def ckpt_clusters(small_corpus_dir):
 
 def test_checkpoints_written(ckpt_clusters):
     manifests = ckpt.read_manifests(ROOT)
-    for stage in ("normalized", "file_groups", "representatives",
-                  "signatures", "candidate_pairs", "verified_pairs",
-                  "edges", "clusters_label_propagation"):
+    for stage in ("normalized", "groups", "signatures",
+                  "candidate_pairs", "verified_pairs",
+                  "edges", "clusters_auto"):
         assert stage in manifests, stage
         m = manifests[stage]
         assert m["rows"] == sum(f["rows"] for f in m["files"])
@@ -61,7 +61,7 @@ def test_resume_rebuilds_after_partial_loss(ckpt_clusters,
                                             small_corpus_dir):
     """Simulate a crash that lost the tail stages: they rebuild from the
     surviving checkpoints and produce identical output."""
-    for stage in ("verified_pairs", "edges", "clusters_label_propagation"):
+    for stage in ("verified_pairs", "edges", "clusters_auto"):
         shutil.rmtree(os.path.join(ROOT, stage), ignore_errors=True)
     docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
     pipe = NearDupPipeline(docs, CFG, checkpoint_dir=ROOT)

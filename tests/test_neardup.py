@@ -199,6 +199,24 @@ def test_signature_determinism(pipe, small_corpus_dir):
     assert s1 == s2
 
 
+def test_pair_and_cluster_determinism(pipe, small_corpus_dir):
+    """Two independent executions (different block layouts possible)
+    must produce identical verified-pair sets and cluster labels — the
+    N-vs-4N scaling runs rely on this."""
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    again = NearDupPipeline(docs, CFG)
+    p1 = {(r["a"], r["b"], round(r["jaccard"], 12))
+          for r in pipe.verified_pairs().take_all()}
+    p2 = {(r["a"], r["b"], round(r["jaccard"], 12))
+          for r in again.verified_pairs().take_all()}
+    assert p1 == p2
+    c1 = {r["file_id"]: r["cluster_id"]
+          for r in pipe.clusters().take_all()}
+    c2 = {r["file_id"]: r["cluster_id"]
+          for r in again.clusters().take_all()}
+    assert c1 == c2
+
+
 def test_containment_stage_finds_planted(pipe, small_corpus_dir):
     from data_deduplication_service_ray.stages.containment import (
         containment_within_groups)
