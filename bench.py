@@ -97,6 +97,38 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus}
 
 
+def _cpu_scaling_ceiling() -> float | None:
+    """Measure this box's pure-CPU 8→32-process scaling ceiling.
+
+    Cloud hosts throttle per-core frequency under full load, so even a
+    perfectly parallel job cannot reach 4x throughput from 8→32 cores on
+    ONE machine (a real 4x-NODE cluster adds sockets, not load). The
+    ceiling contextualizes the pipeline's measured efficiency; it is a
+    property of the host, not of the pipeline.
+    """
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        q.put(time.perf_counter() - t0)
+
+    rates = {}
+    try:
+        for n in (8, 32):
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            avg = sum(q.get() for _ in range(n)) / n
+            rates[n] = n / avg
+        return round((rates[32] / rates[8]) / 4.0, 3)
+    except Exception:
+        return None
+
+
 def main() -> None:
     if "--headline-subprocess" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--headline-subprocess") + 1])
@@ -126,6 +158,7 @@ def main() -> None:
         thr8 = results[8]["files_per_sec"]
         thr32 = results[32]["files_per_sec"]
         eff = (thr32 / thr8) / 4.0
+        ceiling = _cpu_scaling_ceiling()
         print(json.dumps({
             "metric": "neardup scaling efficiency 8→32 cpus",
             "value": round(eff, 3), "unit": "efficiency",
@@ -133,7 +166,10 @@ def main() -> None:
             "sf": SF_DIR, "throughput_8cpu": thr8,
             "throughput_32cpu": thr32,
             "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
-            "n_files": results[32]["n_files"]}))
+            "n_files": results[32]["n_files"],
+            "hw_ceiling_efficiency": ceiling,
+            "efficiency_vs_hw_ceiling": round(eff / ceiling, 3)
+            if ceiling else None}))
         return
 
     _init_ray(NUM_CPUS)

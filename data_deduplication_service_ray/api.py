@@ -274,6 +274,33 @@ def q_image_features(sf_dir: str):
     return mm.image_features(mm.decode_images(media))
 
 
+def q_windowed_events(sf_dir: str):
+    """Tumbling 1-day event-time windows per event_type."""
+    from data_deduplication_service_ray.stages import events as ev
+
+    return ev.window_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "event_type", "value"]))
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based (30 min) per-user sessions over the event stream."""
+    from data_deduplication_service_ray.stages import events as ev
+
+    return ev.sessionize(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "event_id"]))
+
+
+def q_event_rollup(sf_dir: str):
+    """Per-event-type totals with exact-integer money sums."""
+    from data_deduplication_service_ray.stages import events as ev
+
+    return ev.event_type_rollup(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "value", "ts"]))
+
+
 def q_ivf_knn(sf_dir: str):
     """IVF approximate top-k (nprobe-pruned; recall gated in pytest)."""
     from data_deduplication_service_ray.stages import similarity
@@ -308,6 +335,9 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_knn": q_ivf_knn,
     "image_features": q_image_features,
+    "windowed_events": q_windowed_events,
+    "sessionize": q_sessionize,
+    "event_rollup": q_event_rollup,
 }
 
 
@@ -515,6 +545,49 @@ def _text_oracles() -> dict[str, str]:
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         )
         SELECT a, b, cosine FROM s WHERE cosine >= 0.35
+        """,
+        "windowed_events": """
+        WITH c AS (
+          SELECT date_trunc('day', ts) AS window_start, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+        FROM c GROUP BY 1, 2
+        """,
+        "sessionize": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+                     AS session_idx
+          FROM o
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM s GROUP BY 1, 2
+        """,
+        "event_rollup": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents, ts
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value,
+               min(ts) AS min_ts, max(ts) AS max_ts
+        FROM c GROUP BY 1
         """,
     }
 

@@ -75,7 +75,11 @@ class PipelineConfig:
     bucket_window: int = 8          # neighbor window for capped hot buckets
 
     # --- scoring / verification -----------------------------------------
-    jaccard_threshold: float = 0.5  # exact-verify acceptance
+    jaccard_threshold: float = 0.7  # exact-verify acceptance; the
+                                    # (lsh_bands, rows_per_band) defaults
+                                    # are sized so P(candidate) >= 0.995
+                                    # at exactly this threshold (recall
+                                    # gate math in tests/test_neardup)
     est_prefilter_margin: float = 0.2
                                     # signature-estimate prefilter keeps
                                     # pairs with est >= threshold-margin;
