@@ -25,9 +25,11 @@ from data_deduplication_service_ray.sources.readers import (
 
 CFG = PipelineConfig(segment_size=64, segment_hash="sha256")
 
-# Shared SQL fragment: fixed-size segmentation of documents at segment 64,
+# Shared SQL fragment: fixed-size segmentation of documents,
 # 1-based positions, last partial block kept (lib/dbManager.cpp:204-234).
-_SEGS_CTE = """
+
+def _segs_cte(size: int) -> str:
+    return """
 WITH exploded AS (
   SELECT d.doc_id AS file_id, d.text,
          CAST(unnest(generate_series(1,
@@ -38,7 +40,10 @@ WITH exploded AS (
          substring(text, CAST((pos-1)*{S}+1 AS BIGINT), {S}) AS segment
   FROM exploded
 )
-""".format(S=64)
+""".format(S=size)
+
+
+_SEGS_CTE = _segs_cte(64)
 
 
 def _core(sf_dir: str) -> DedupCore:
@@ -89,6 +94,41 @@ def q_delete_refcounts(sf_dir: str):
               .filter(expr="source == 'src0'"))
     ids = {r["file_id"] for r in doomed.take_all()}
     return exact.delete_files(core.recipe(), ids)
+
+
+def q_top_segments(sf_dir: str):
+    """Top-20 segments by refcount (sort + limit; deterministic
+    tie-break on segment_hash)."""
+    store = _core(sf_dir).store().select_columns(
+        ["segment_hash", "segment_count"])
+    return store.sort(["segment_count", "segment_hash"],
+                      descending=[True, False]).limit(20)
+
+
+def q_segment_store_md5(sf_dir: str):
+    """Segment store under the md5 digest (hash-registry variant M1;
+    the reference's per-database hash choice, include/HashUtils.h:48-56)."""
+    cfg = CFG.with_(segment_hash="md5")
+    return DedupCore(read_documents(sf_dir), cfg).store()
+
+
+def q_segment_store_s16(sf_dir: str):
+    """Segment store at segment_size=16 (the reference's segment-size
+    sweep, test/bencmark.cpp:18-19)."""
+    cfg = CFG.with_(segment_size=16)
+    return DedupCore(read_documents(sf_dir), cfg).store()
+
+
+def q_segment_store_cdc(sf_dir: str):
+    """Content-defined (Gear rolling hash) segment store — the CDC
+    shingle mode of the north_star; not SQL-expressible (rows-only;
+    kernel gated by pytest shift-resilience tests)."""
+    cfg = CFG.with_(shingle_mode="cdc")
+    core = DedupCore(read_documents(sf_dir), cfg)
+    from data_deduplication_service_ray.stages import exact, segment
+
+    recipe = segment.segment_recipe(core.docs, cfg, mode="cdc")
+    return exact.segment_store(recipe)
 
 
 def q_dir_listing(sf_dir: str):
@@ -321,6 +361,10 @@ QUERIES = {
     "global_coefficient": q_global_coefficient,
     "delete_refcounts": q_delete_refcounts,
     "dir_listing": q_dir_listing,
+    "top_segments": q_top_segments,
+    "segment_store_md5": q_segment_store_md5,
+    "segment_store_s16": q_segment_store_s16,
+    "segment_store_cdc": q_segment_store_cdc,
     "minhash_signatures": q_minhash_signatures,
     "lsh_clusters": q_lsh_clusters,
     "neardup_pairs": q_neardup_pairs,
@@ -361,6 +405,27 @@ ORACLE_SQL = {
     """,
     "file_recipe": _SEGS_CTE + """
         SELECT file_id, pos, sha256(segment) AS segment_hash FROM segs
+    """,
+    "top_segments": _SEGS_CTE + """
+        , store AS (
+          SELECT sha256(segment) AS segment_hash,
+                 CAST(count(*) AS BIGINT) AS segment_count
+          FROM segs GROUP BY 1
+        )
+        SELECT segment_hash, segment_count FROM store
+        ORDER BY segment_count DESC, segment_hash LIMIT 20
+    """,
+    "segment_store_md5": _SEGS_CTE + """
+        SELECT md5(segment) AS segment_hash,
+               min(segment) AS segment,
+               CAST(count(*) AS BIGINT) AS segment_count
+        FROM segs GROUP BY 1
+    """,
+    "segment_store_s16": _segs_cte(16) + """
+        SELECT sha256(segment) AS segment_hash,
+               min(segment) AS segment,
+               CAST(count(*) AS BIGINT) AS segment_count
+        FROM segs GROUP BY 1
     """,
     "reconstruct": """
         SELECT doc_id AS file_id, text AS content

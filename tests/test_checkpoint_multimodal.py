@@ -133,3 +133,29 @@ def test_frame_sampling(media_ds):
     assert sorted(by_media[0]) == [0, 2, 4, 6]
     for idxs in by_media.values():
         assert all(i % 2 == 0 for i in idxs)
+
+
+# ---------------------------------------------------------------------------
+# partitioned writer sink
+# ---------------------------------------------------------------------------
+
+def test_write_dataset_partitioned_and_sealed(small_corpus_dir):
+    from data_deduplication_service_ray.sources import writers
+
+    out = "/tmp/dedup_writer_test"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+    m1 = writers.write_dataset(docs, out, partition_col="lang")
+    assert writers.is_sealed(out)
+    assert m1["rows"] == docs.count()
+    # hive layout: one subdir per lang
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert len(langs) >= 2
+    back = writers.read_dataset(out)
+    assert back.count() == m1["rows"]
+    # skip_existing returns the sealed manifest without rewriting
+    mtime = os.path.getmtime(os.path.join(out, "_MANIFEST.json"))
+    m2 = writers.write_dataset(docs, out, partition_col="lang",
+                               mode="skip_existing")
+    assert m2["rows"] == m1["rows"]
+    assert os.path.getmtime(os.path.join(out, "_MANIFEST.json")) == mtime
