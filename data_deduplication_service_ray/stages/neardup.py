@@ -305,14 +305,20 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
 def distinct_pairs(occurrences: ray.data.Dataset) -> ray.data.Dataset:
     """Pair occurrences -> one row per (a, b) with n_bands support,
     ``capped`` if any contributing bucket was capped, and the minimum of
-    any per-occurrence score columns (they are identical per pair)."""
-    from ray.data.aggregate import Min
+    any per-occurrence score columns (they are identical per pair).
 
-    extra = [Min(c, alias_name=c)
-             for c in occurrences.schema().names
-             if c not in ("a", "b", "capped")]
+    Accepts either raw occurrence rows (n_bands = Count) or block-
+    compressed rows carrying exact partial counts in ``n_occ``
+    (n_bands = Sum of partials — same value, far fewer rows)."""
+    from ray.data.aggregate import Min, Sum
+
+    names = occurrences.schema().names
+    support = (Sum("n_occ", alias_name="n_bands") if "n_occ" in names
+               else Count(alias_name="n_bands"))
+    extra = [Min(c, alias_name=c) for c in names
+             if c not in ("a", "b", "capped", "n_occ")]
     return (occurrences.groupby(["a", "b"])
-            .aggregate(Count(alias_name="n_bands"),
+            .aggregate(support,
                        Max("capped", alias_name="capped"), *extra))
 
 
@@ -427,27 +433,45 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         handle = ray.put((ids[order], mat[order]))
 
         def score_bcast(batch: pa.Table) -> pa.Table:
+            empty = pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n_occ": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_()),
+                "est": pa.array([], pa.float64())})
             if batch.num_rows == 0:
-                return batch.append_column("est",
-                                           pa.array([], pa.float64()))
+                return empty
             sids, smat = ray.get(handle)
             a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
                            dtype=np.int64)
             b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
                            dtype=np.int64)
-            # score each UNIQUE (a,b) once, scatter back via inverse:
-            # the same pair repeats across bands within a block (hot
-            # windows especially), and the signature gather is the
-            # bandwidth-heavy part. Rows/columns are untouched, so
-            # n_bands/capped stay exact and layout-independent.
+            cp = np.asarray(batch["capped"].to_numpy(
+                zero_copy_only=False), dtype=bool)
+            # COMPRESS per block: one output row per unique (a,b) with
+            # its exact in-block occurrence count (n_occ) and capped-any.
+            # The same pair repeats across bands (hot windows
+            # especially); compressing before the bandwidth-heavy
+            # signature gather AND the global distinct groupby keeps
+            # both proportional to unique pairs. Sums of exact partial
+            # counts stay layout-independent.
             ab = np.stack([a, b], axis=1)
-            uniq, inverse = np.unique(ab, axis=0, return_inverse=True)
+            uniq, inverse, counts = np.unique(
+                ab, axis=0, return_inverse=True, return_counts=True)
+            capped_any = np.zeros(len(uniq), dtype=bool)
+            np.logical_or.at(capped_any, inverse, cp)
             ia = np.searchsorted(sids, uniq[:, 0])
             ib = np.searchsorted(sids, uniq[:, 1])
             est_u = (smat[ia] == smat[ib]).mean(axis=1)
-            est = est_u[inverse]
-            out = batch.append_column("est", pa.array(est, pa.float64()))
-            return out.filter(pa.array(est >= cut))
+            keep = est_u >= cut
+            if not keep.any():
+                return empty
+            return pa.table({
+                "a": pa.array(uniq[keep, 0]),
+                "b": pa.array(uniq[keep, 1]),
+                "n_occ": pa.array(counts[keep].astype(np.int64)),
+                "capped": pa.array(capped_any[keep]),
+                "est": pa.array(est_u[keep], pa.float64())})
 
         # join outputs leave ~join_parts big blocks; split them so the
         # (memory-bandwidth-heavy) signature-gather map uses every core
@@ -555,32 +579,50 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
     n_pairs = (pairs.count()
                if isinstance(pairs, MaterializedDataset) else None)
     if n_pairs is not None and n_pairs <= BROADCAST_PAIR_LIMIT:
-        needed: set[int] = set()
+        needed_arr: list[np.ndarray] = []
         for b in pairs.select_columns(["a", "b"]).iter_batches(
                 batch_format="pyarrow", batch_size=None):
-            needed.update(b["a"].to_pylist())
-            needed.update(b["b"].to_pylist())
-        id_arr = pa.array(sorted(needed), pa.int64())
+            needed_arr.append(np.asarray(
+                b["a"].to_numpy(zero_copy_only=False), dtype=np.int64))
+            needed_arr.append(np.asarray(
+                b["b"].to_numpy(zero_copy_only=False), dtype=np.int64))
+        needed = (np.unique(np.concatenate(needed_arr)) if needed_arr
+                  else np.empty(0, dtype=np.int64))
+        id_arr = pa.array(needed)
 
         def keep(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch["file_id"],
                                          value_set=id_arr))
 
-        content: dict[int, str] = {}
-        for b in slim_docs.map_batches(
-                keep, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=None):
-            content.update(zip(b["file_id"].to_pylist(),
-                               b["content"].to_pylist()))
-        handle = ray.put(content)
+        # broadcast as a SORTED arrow table (ids + contents) — arrow
+        # buffers serialize without per-string Python objects, and the
+        # attach step is a vectorized searchsorted + take
+        parts = [b for b in slim_docs.map_batches(
+            keep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None)]
+        tbl = (pa.concat_tables(parts) if parts
+               else pa.table({"file_id": pa.array([], pa.int64()),
+                              "content": pa.array([], pa.string())}))
+        ids_np = np.asarray(tbl["file_id"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(ids_np)
+        sorted_ids = ids_np[order]
+        contents = tbl["content"].combine_chunks().take(pa.array(order))
+        handle = ray.put((sorted_ids, contents))
 
         def attach(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(handle)
-            ca = [lookup[i] for i in batch["a"].to_pylist()]
-            cb = [lookup[i] for i in batch["b"].to_pylist()]
+            sids, scontent = ray.get(handle)
+            ia = np.searchsorted(sids, np.asarray(
+                batch["a"].to_numpy(zero_copy_only=False),
+                dtype=np.int64))
+            ib = np.searchsorted(sids, np.asarray(
+                batch["b"].to_numpy(zero_copy_only=False),
+                dtype=np.int64))
             return (batch
-                    .append_column("content_a", pa.array(ca, pa.string()))
-                    .append_column("content_b", pa.array(cb, pa.string())))
+                    .append_column("content_a",
+                                   scontent.take(pa.array(ia)))
+                    .append_column("content_b",
+                                   scontent.take(pa.array(ib))))
 
         return pairs.map_batches(attach, batch_format="pyarrow")
 

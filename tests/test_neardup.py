@@ -199,6 +199,48 @@ def test_signature_determinism(pipe, small_corpus_dir):
     assert s1 == s2
 
 
+def test_recall_at_2000_docs_planted_truth(t2_corpus_dir):
+    """Scale-up recall check: every planted exact group and every near
+    group at <=5% edit rate (expected J well above threshold) must land
+    in one cluster; brute-force oracle replaced by planted truth."""
+    import pyarrow.parquet as pq
+
+    from data_deduplication_service_ray.functions.hashing import stable_id64
+
+    docs = read_corpus(f"{t2_corpus_dir}/corpus.parquet")
+    pipe2 = NearDupPipeline(docs, CFG)
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in pipe2.clusters().take_all()}
+
+    corpus = pq.read_table(f"{t2_corpus_dir}/corpus.parquet")
+    truth = pq.read_table(f"{t2_corpus_dir}/truth.parquet").to_pandas()
+    fids = [stable_id64(r, p, c) for r, p, c in zip(
+        corpus["repo"].to_pylist(), corpus["path"].to_pylist(),
+        corpus["commit"].to_pylist())]
+    texts = corpus["content"].to_pylist()
+
+    total = hit = 0
+    for (kind, gid), grp in truth[
+            truth.kind.isin(["exact", "near"])].groupby(
+            ["kind", "group_id"]):
+        idx = list(grp.file_idx)
+        if kind == "near":
+            if grp.edit_rate.iloc[0] > 0.05:
+                continue
+            # confirm the planted pair actually clears the threshold
+            sa = np.unique(kgram_hashes(texts[idx[0]].encode(),
+                                        CFG.shingle_k))
+            sb = np.unique(kgram_hashes(texts[idx[1]].encode(),
+                                        CFG.shingle_k))
+            if mh.exact_jaccard(sa, sb) < CFG.jaccard_threshold:
+                continue
+        total += 1
+        if len({labels[fids[i]] for i in idx}) == 1:
+            hit += 1
+    assert total >= 100, f"fixture too small ({total} groups)"
+    assert hit / total >= 0.99, f"recall {hit}/{total}"
+
+
 def test_pair_and_cluster_determinism(pipe, small_corpus_dir):
     """Two independent executions (different block layouts possible)
     must produce identical verified-pair sets and cluster labels — the
