@@ -208,6 +208,25 @@ class NearDupPipeline:
     def cluster_report(self) -> ray.data.Dataset:
         return cl.cluster_sizes(self.clusters())
 
+    def without_files(self, delete_ids: set[int]) -> "NearDupPipeline":
+        """Incremental removal (reference delete path D1/D2,
+        lib/dbManager.cpp:92-161, recompute-from-lineage style): a new
+        pipeline over the corpus minus ``delete_ids``. With a
+        ``checkpoint_dir`` pointing at a fresh directory the surviving
+        stages rebuild; clusters not touching a removed file keep their
+        labels (min-id labels are content-derived, not positional)."""
+        ids = pa.array(sorted(delete_ids), pa.int64())
+
+        def drop(batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.compute.invert(
+                pa.compute.is_in(batch["file_id"], value_set=ids)))
+
+        # strip the derived column: the new pipeline re-normalizes
+        docs = (self.docs.map_batches(drop, batch_format="pyarrow")
+                .drop_columns(["content_sha256"]))
+        return NearDupPipeline(docs, self.cfg,
+                               materialize=self._materialize)
+
     def containment_pairs(self) -> ray.data.Dataset:
         """Verified pairs where one content is a substring of the other
         (the substring-containment output of the north_star)."""

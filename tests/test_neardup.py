@@ -259,6 +259,27 @@ def test_pair_and_cluster_determinism(pipe, small_corpus_dir):
     assert c1 == c2
 
 
+def test_incremental_removal(pipe):
+    """Removing files recomputes clusters; untouched clusters keep their
+    (content-derived) labels, removed ids vanish."""
+    base = {r["file_id"]: r["cluster_id"]
+            for r in pipe.clusters().take_all()}
+    # remove one member of some duplicate cluster
+    from collections import Counter
+
+    sizes = Counter(base.values())
+    dup_cluster = next(c for c, n in sizes.items() if n > 1)
+    victim = max(f for f, c in base.items() if c == dup_cluster)
+    after = {r["file_id"]: r["cluster_id"]
+             for r in pipe.without_files({victim}).clusters().take_all()}
+    assert victim not in after
+    assert set(after) == set(base) - {victim}
+    unaffected = {f for f, c in base.items()
+                  if c != dup_cluster and f != victim}
+    for f in unaffected:
+        assert after[f] == base[f]
+
+
 def test_containment_stage_finds_planted(pipe, small_corpus_dir):
     from data_deduplication_service_ray.stages.containment import (
         containment_within_groups)
