@@ -199,9 +199,19 @@ class NearDupPipeline:
                 labels = cl.cluster_label_propagation(
                     edges, max_rounds=self.cfg.max_label_rounds,
                     num_partitions=join_parts(self.cfg))
+
+            # all node ids come from the MATERIALIZED groups stage
+            # (members flattened) — attaching via normalized() would
+            # re-read the corpus and re-hash content just to list ids
+            def all_ids(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "file_id": batch["members"].combine_chunks()
+                    .flatten()})
+
+            nodes = self.groups().select_columns(["members"]).map_batches(
+                all_ids, batch_format="pyarrow")
             return cl.attach_singletons(
-                labels, self.normalized(),
-                num_partitions=join_parts(self.cfg))
+                labels, nodes, num_partitions=join_parts(self.cfg))
 
         return self._stage(f"clusters_{method}", build, mat=False)
 

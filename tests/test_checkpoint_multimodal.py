@@ -159,3 +159,34 @@ def test_write_dataset_partitioned_and_sealed(small_corpus_dir):
                                mode="skip_existing")
     assert m2["rows"] == m1["rows"]
     assert os.path.getmtime(os.path.join(out, "_MANIFEST.json")) == mtime
+
+
+def test_cli_runner_end_to_end(small_corpus_dir):
+    """python -m data_deduplication_service_ray.run — outputs + manifest
+    + resume on a second invocation with the same checkpoint dir."""
+    from data_deduplication_service_ray import run as cli
+
+    out = "/tmp/dedup_cli_test/out"
+    ck = "/tmp/dedup_cli_test/ckpt"
+    shutil.rmtree("/tmp/dedup_cli_test", ignore_errors=True)
+    rc = cli.main(["--input", f"{small_corpus_dir}/corpus.parquet",
+                   "--output", out, "--checkpoint-dir", ck,
+                   "--jaccard-threshold", "0.7"])
+    assert rc == 0
+    import json
+
+    with open(os.path.join(out, "run_manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"]["clusters"] > 0
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    assert ckpt.read_manifests(ck)
+    # resume: second run must produce identical cluster rows
+    out2 = "/tmp/dedup_cli_test/out2"
+    rc2 = cli.main(["--input", f"{small_corpus_dir}/corpus.parquet",
+                    "--output", out2, "--checkpoint-dir", ck,
+                    "--jaccard-threshold", "0.7"])
+    assert rc2 == 0
+    a = ray.data.read_parquet(os.path.join(out, "clusters")).take_all()
+    b = ray.data.read_parquet(os.path.join(out2, "clusters")).take_all()
+    key = lambda r: r["file_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
