@@ -171,6 +171,16 @@ def q_neardup_pairs(sf_dir: str):
     return _neardup(sf_dir).verified_pairs()
 
 
+def q_simhash_pairs(sf_dir: str):
+    """Standalone SimHash dedup: Hamming<=8 pairs via banded 64-bit
+    fingerprints (exact recall for d<=3 by pigeonhole; verified by
+    popcount). Rows-only; kernel gated in pytest."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    p = _neardup(sf_dir)
+    return nd.simhash_pairs(p.signatures(), CFG)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact character-8-gram Jaccard for consecutive doc-id pairs.
 
@@ -368,6 +378,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_clusters": q_lsh_clusters,
     "neardup_pairs": q_neardup_pairs,
+    "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "containment": q_containment,
     "text_stats": q_text_stats,

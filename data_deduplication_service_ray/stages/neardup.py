@@ -635,3 +635,78 @@ def duplicate_edges(verified: ray.data.Dataset,
     thr = cfg.jaccard_threshold
     return (verified.filter(expr=f"jaccard >= {thr}")
             .select_columns(["a", "b"]))
+
+
+def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
+                  band_bits: int = 16) -> ray.data.Dataset:
+    """Standalone SimHash dedup: pairs with Hamming distance <=
+    ``cfg.simhash_max_hamming`` found via banded fingerprints.
+
+    Pigeonhole guarantee: a 64-bit fingerprint split into 4 x 16-bit
+    bands — any pair within Hamming distance 3 shares at least one
+    intact band, so recall is EXACT for d <= bands-1 (Charikar-style
+    banding); larger allowed distances (up to simhash_max_hamming) are
+    found when any band survives and verified by exact popcount. Input
+    is the signature table (file_id, simhash); output (a, b, hamming).
+    """
+    n_bands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sim = np.asarray(batch["simhash"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64).view(np.uint64)
+        ids = np.asarray(batch["file_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        shifts = (np.arange(n_bands, dtype=np.uint64)
+                  * np.uint64(band_bits))
+        vals = ((sim[:, None] >> shifts[None, :]) & mask)
+        # mix band index in so the shuffle key is one int64
+        from data_deduplication_service_ray.functions.hashing import (
+            splitmix64)
+
+        mixed = splitmix64(
+            vals ^ (np.arange(n_bands, dtype=np.uint64)[None, :]
+                    + np.uint64(0x51)))
+        return pa.table({
+            "band_hash": _as_i64(mixed.reshape(-1)),
+            "file_id": pa.array(np.repeat(ids, n_bands)),
+        })
+
+    bands = sigs.select_columns(["file_id", "simhash"]).map_batches(
+        to_bands, batch_format="pyarrow")
+    pairs = candidate_pairs(bands, cfg, distinct=True)
+
+    # verify: broadcast the (small) fingerprint table, exact popcount
+    import ray as _ray
+
+    tbl = pa.concat_tables(
+        [b for b in sigs.select_columns(["file_id", "simhash"])
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    ids_np = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+    order = np.argsort(ids_np)
+    handle = _ray.put((ids_np[order], np.asarray(
+        tbl["simhash"].to_numpy(zero_copy_only=False),
+        dtype=np.int64)[order]))
+    max_d = cfg.simhash_max_hamming
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        sids, ssim = _ray.get(handle)
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ha = ssim[np.searchsorted(sids, a)]
+        hb = ssim[np.searchsorted(sids, b)]
+        d = mh.hamming64(ha.view(np.uint64), hb.view(np.uint64))
+        keep = d <= max_d
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(b[keep]),
+                         "hamming": pa.array(d[keep])})
+
+    return pairs.materialize().map_batches(verify,
+                                           batch_format="pyarrow")

@@ -259,6 +259,32 @@ def test_pair_and_cluster_determinism(pipe, small_corpus_dir):
     assert c1 == c2
 
 
+def test_simhash_pairs_pigeonhole_recall(pipe, small_corpus_dir):
+    """Banded SimHash dedup finds every pair within Hamming<=3 of the
+    signature table (exact by pigeonhole with 4x16-bit bands) and only
+    pairs within the configured max distance."""
+    from data_deduplication_service_ray.stages.neardup import simhash_pairs
+
+    sigs = pipe.signatures()
+    rows = sigs.take_all()
+    sims = {r["file_id"]: np.uint64(np.int64(r["simhash"]))
+            for r in rows}
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_pairs(sigs, CFG).take_all()}
+    ids = sorted(sims)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = int(mh.hamming64(np.array([sims[ids[i]]]),
+                                 np.array([sims[ids[j]]]))[0])
+            if d <= 3:
+                assert (ids[i], ids[j]) in got, (ids[i], ids[j], d)
+    for (a, b), d in got.items():
+        assert d <= CFG.simhash_max_hamming
+        true_d = int(mh.hamming64(np.array([sims[a]]),
+                                  np.array([sims[b]]))[0])
+        assert d == true_d
+
+
 def test_incremental_removal(pipe):
     """Removing files recomputes clusters; untouched clusters keep their
     (content-derived) labels, removed ids vanish."""
