@@ -67,14 +67,19 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30
     session_idx is 0-based in (ts, event_id) order; a gap strictly
     greater than ``gap_minutes`` opens a new session.
     """
-    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    gap_us = float(gap_minutes * 60 * 1_000_000)
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = df["ts"].astype("int64").to_numpy()
+        ts = df["ts"].to_numpy()  # datetime64 of WHATEVER resolution
         new_session = np.ones(len(df), dtype=np.int64)
         if len(df) > 1:
-            new_session[1:] = (np.diff(ts_us) > gap_us).astype(np.int64)
+            # unit-safe gap: dividing timedelta64 by a 1-us timedelta64
+            # yields float microseconds regardless of the column's native
+            # resolution (int64-view comparison would silently follow the
+            # pandas/pyarrow datetime unit — us vs ns is a 1000x trap)
+            gaps_us = np.diff(ts) / np.timedelta64(1, "us")
+            new_session[1:] = (gaps_us > gap_us).astype(np.int64)
         idx = np.cumsum(new_session) - 1
         out = df.assign(session_idx=idx)
         g = (out.groupby("session_idx", sort=True)

@@ -115,6 +115,12 @@ def refcount_invariant(recipe: ray.data.Dataset,
     stored = store.select_columns(["segment_hash", "segment_count"])
     joined = recount.join(stored, join_type="full_outer", num_partitions=8,
                           on=("segment_hash",))
-    bad = joined.filter(
-        lambda r: r["recount"] != r["segment_count"])
-    return bad.count()
+
+    def mismatches(batch: pa.Table) -> pa.Table:
+        # IS DISTINCT FROM semantics: a null on either side (hash present
+        # in only one table) counts as a mismatch
+        eq = pc.fill_null(pc.equal(batch["recount"],
+                                   batch["segment_count"]), False)
+        return batch.filter(pc.invert(eq))
+
+    return joined.map_batches(mismatches, batch_format="pyarrow").count()

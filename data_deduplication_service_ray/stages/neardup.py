@@ -160,18 +160,28 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
                     num_blocks_hint: int = 64) -> np.ndarray:
     """Two-phase heavy-hitter detection for LSH bucket keys.
 
-    Phase 1 (vectorized, per block): Arrow ``group_by.count`` inside
-    ``map_batches``, keep only keys whose BLOCK-LOCAL count clears
-    cap/num_blocks_hint (a globally-hot key must be locally frequent in
-    at least one of ~num_blocks blocks — random placement makes evasion
-    vanishingly unlikely at cap≥64). Phase 2: exact count of the few
-    surviving keys. Returns the sorted hot keys (approx-count > cap).
+    Phase 1 (vectorized, per block): the band table is first COALESCED to
+    B = min(num_blocks_hint, cap) blocks (shuffle-free repartition), then
+    Arrow ``group_by.count`` inside ``map_batches`` keeps keys whose
+    block-local count clears cap//B. With B <= cap the pigeonhole bound
+    is exact: a key with global count > cap over B blocks has some block
+    count >= cap//B + 1 > local_cut - 1, so NO globally-hot key can evade
+    phase 1 regardless of block layout — the hot set (and hence the
+    emitted pair set) is layout/CPU-count independent, which the
+    determinism contract requires. Phase 2: exact global count of the few
+    surviving keys. Returns the sorted hot keys (exact count > cap).
+
+    Scale note: coalescing bounds phase-1 parallelism at ``cap`` tasks;
+    at cluster scale cap is sized in the hundreds-to-thousands (hot
+    buckets there are boilerplate with counts >> node count), so phase 1
+    still spreads across nodes while keeping the guarantee.
 
     Avoids any per-group Python over the full key space — a CollectList
     or Count aggregate over ~10M mostly-singleton buckets measured ~6µs
     of Python per row; this path touches only heavy candidates.
     """
-    local_cut = max(2, cap // max(num_blocks_hint, 1))
+    n_blocks = max(1, min(num_blocks_hint, cap))
+    local_cut = max(2, cap // n_blocks)
 
     def local_heavy(batch: pa.Table) -> pa.Table:
         agg = batch.group_by("band_hash").aggregate([("file_id", "count")])
@@ -179,8 +189,9 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
                                 pa.scalar(local_cut))
         return agg.filter(mask).rename_columns(["band_hash", "cnt"])
 
-    heavy = bands.map_batches(local_heavy, batch_format="pyarrow",
-                              batch_size=None)
+    heavy = (bands.repartition(n_blocks, shuffle=False)
+             .map_batches(local_heavy, batch_format="pyarrow",
+                          batch_size=None))
     candidates = {r["band_hash"] for r in heavy.take_all()}
     if not candidates:
         return np.empty(0, dtype=np.int64)
@@ -405,13 +416,30 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     practice, and the surviving candidate set — not the raw bucket
     blowup — pays for content shipping.
 
+    The margin is ADAPTIVE per pair: the configured margin assumes ~128
+    independent estimator slots, which holds for the kperm scheme but not
+    for OPH on short documents — there the estimator's effective sample
+    is min(n_shingles, num_perms), so a doc with tens of shingles has
+    σ up to ~0.1 and a fixed 0.2 margin would drop true pairs. Each pair
+    uses max(margin, 2/sqrt(min(nsh_a, nsh_b, num_perms))) (a 4σ bound at
+    worst-case J=0.5); for very short docs the cut falls below 0 and the
+    prefilter passes them straight to exact verification.
+
     Small signature tables are broadcast ONCE via ``ray.put`` and looked
     up per batch (no shuffle at all); past ``BROADCAST_SIG_LIMIT`` rows
     the filter switches to two hash joins with signatures packed as
     fixed-width binary (Arrow joins reject list payloads).
     """
     nparts = num_partitions or join_parts(cfg)
-    cut = cfg.jaccard_threshold - cfg.est_prefilter_margin
+    thr = cfg.jaccard_threshold
+    base_margin = cfg.est_prefilter_margin
+    nperm = cfg.num_perms
+
+    def _pair_cut(nsh_a: np.ndarray, nsh_b: np.ndarray) -> np.ndarray:
+        """Per-pair estimate cut: threshold - adaptive 4σ margin."""
+        m = np.minimum(np.minimum(nsh_a, nsh_b), nperm)
+        m = np.maximum(m, 1)
+        return thr - np.maximum(base_margin, 2.0 / np.sqrt(m))
 
     from ray.data.dataset import MaterializedDataset
 
@@ -421,16 +449,26 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         import ray
 
         tbl = pa.concat_tables(
-            [b for b in sigs.select_columns(["file_id", "minhash"])
+            [b for b in sigs.select_columns(
+                ["file_id", "minhash", "n_shingles"])
              .iter_batches(batch_format="pyarrow", batch_size=None)])
         ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        mat = np.asarray(
+        # Ship only the LOW 32 BITS of each signature slot: slot equality
+        # on low halves can only overestimate the match fraction (a false
+        # equality needs a 2^-32 collision), so recall is untouched while
+        # the broadcast AND the per-batch gather move half the bytes —
+        # the estimate gather is the pipeline's bandwidth-bound stage
+        # (BASELINE.md scaling breakdown).
+        mat = (np.asarray(
             tbl["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False),
-            dtype=np.int64).reshape(len(ids), cfg.num_perms)
+            dtype=np.int64).view(np.uint64)
+            .astype(np.uint32).reshape(len(ids), cfg.num_perms))
+        nsh = np.asarray(tbl["n_shingles"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
         order = np.argsort(ids)
-        handle = ray.put((ids[order], mat[order]))
+        handle = ray.put((ids[order], mat[order], nsh[order]))
 
         def score_bcast(batch: pa.Table) -> pa.Table:
             empty = pa.table({
@@ -441,7 +479,7 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                 "est": pa.array([], pa.float64())})
             if batch.num_rows == 0:
                 return empty
-            sids, smat = ray.get(handle)
+            sids, smat, snsh = ray.get(handle)
             a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
                            dtype=np.int64)
             b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
@@ -463,7 +501,7 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             ia = np.searchsorted(sids, uniq[:, 0])
             ib = np.searchsorted(sids, uniq[:, 1])
             est_u = (smat[ia] == smat[ib]).mean(axis=1)
-            keep = est_u >= cut
+            keep = est_u >= _pair_cut(snsh[ia], snsh[ib])
             if not keep.any():
                 return empty
             return pa.table({
@@ -478,34 +516,51 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         pairs = pairs.repartition(4 * _pool_max(cfg), shuffle=False)
         return pairs.map_batches(score_bcast, batch_format="pyarrow")
 
+    sig_w = cfg.num_perms * 4
+
     def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        mat = np.asarray(
+        mat = (np.asarray(
             batch["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False), dtype=np.int64)
-        blobs = [mat[i * cfg.num_perms:(i + 1) * cfg.num_perms].tobytes()
-                 for i in range(n)]
+            .view(np.uint64).astype(np.uint32).reshape(n, cfg.num_perms))
+        nsh = np.ascontiguousarray(np.asarray(
+            batch["n_shingles"].to_numpy(zero_copy_only=False),
+            dtype=np.int64))
+        # ONE fixed-width blob per row (low-32 sig slots + trailing int64
+        # shingle count): Arrow joins reject list payloads, and a single
+        # binary column keeps the join plumbing simple; low-32 halves the
+        # join payload width (recall-safe — see broadcast path)
+        blob_mat = np.concatenate(
+            [mat.view(np.uint8).reshape(n, sig_w),
+             nsh.view(np.uint8).reshape(n, 8)], axis=1)
+        blobs = [row.tobytes() for row in blob_mat]
         return pa.table({"file_id": batch["file_id"],
                          "sig": pa.array(blobs, pa.binary())})
 
-    packed = sigs.select_columns(["file_id", "minhash"]).map_batches(
+    packed = sigs.select_columns(
+        ["file_id", "minhash", "n_shingles"]).map_batches(
         pack, batch_format="pyarrow")
     both = _join_both_sides(pairs, packed, "sig", "sig", nparts)
-    cut = cfg.jaccard_threshold - cfg.est_prefilter_margin
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return batch.drop_columns(["sig_a", "sig_b"]).append_column(
                 "est", pa.array([], pa.float64()))
-        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
-                           dtype=np.int64).reshape(n, cfg.num_perms)
-        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
-                           dtype=np.int64).reshape(n, cfg.num_perms)
+        rawa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                             dtype=np.uint8).reshape(n, sig_w + 8)
+        rawb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                             dtype=np.uint8).reshape(n, sig_w + 8)
+        sa = np.ascontiguousarray(rawa[:, :sig_w]).view(np.uint32)
+        sb = np.ascontiguousarray(rawb[:, :sig_w]).view(np.uint32)
+        na = np.ascontiguousarray(rawa[:, sig_w:]).view(np.int64).ravel()
+        nb = np.ascontiguousarray(rawb[:, sig_w:]).view(np.int64).ravel()
         est = (sa == sb).mean(axis=1)
+        keep = est >= _pair_cut(na, nb)
         out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
             "est", pa.array(est, pa.float64()))
-        return out.filter(pa.array(est >= cut))
+        return out.filter(pa.array(keep))
 
     return both.map_batches(score, batch_format="pyarrow")
 
@@ -644,10 +699,22 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
 
     Pigeonhole guarantee: a 64-bit fingerprint split into 4 x 16-bit
     bands — any pair within Hamming distance 3 shares at least one
-    intact band, so recall is EXACT for d <= bands-1 (Charikar-style
-    banding); larger allowed distances (up to simhash_max_hamming) are
-    found when any band survives and verified by exact popcount. Input
-    is the signature table (file_id, simhash); output (a, b, hamming).
+    intact band (Charikar-style banding); larger allowed distances (up
+    to simhash_max_hamming) are found when any band survives, and every
+    candidate is verified by exact popcount. Band-equal buckets are
+    EXACT-match groups on 16 fingerprint bits, so full pair expansion is
+    the documented semantics — the hot-bucket cap is raised to a blowup
+    backstop (>=4096) rather than the LSH default, and any pair that DID
+    ride a capped bucket carries ``capped=True`` in the output, so recall
+    is exact for d <= bands-1 *provided no bucket exceeded the cap*, and
+    the truncation is visible when one did. Output: (a, b, hamming,
+    capped).
+
+    The popcount verification broadcasts the (file_id, simhash) table
+    only while it is under ``BROADCAST_SIG_LIMIT`` rows (16 B/row =>
+    ~16 MB at the limit); past it, fingerprints are attached via two
+    hash joins on int64 payloads (no packing needed) — the same
+    count-gate + join-fallback contract as ``estimate_filter``.
     """
     n_bands = 64 // band_bits
     mask = np.uint64((1 << band_bits) - 1)
@@ -672,41 +739,73 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
             "file_id": pa.array(np.repeat(ids, n_bands)),
         })
 
-    bands = sigs.select_columns(["file_id", "simhash"]).map_batches(
-        to_bands, batch_format="pyarrow")
-    pairs = candidate_pairs(bands, cfg, distinct=True)
-
-    # verify: broadcast the (small) fingerprint table, exact popcount
-    import ray as _ray
-
-    tbl = pa.concat_tables(
-        [b for b in sigs.select_columns(["file_id", "simhash"])
-         .iter_batches(batch_format="pyarrow", batch_size=None)])
-    ids_np = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
-    order = np.argsort(ids_np)
-    handle = _ray.put((ids_np[order], np.asarray(
-        tbl["simhash"].to_numpy(zero_copy_only=False),
-        dtype=np.int64)[order]))
+    slim = sigs.select_columns(["file_id", "simhash"]).materialize()
+    bands = slim.map_batches(to_bands, batch_format="pyarrow")
+    sim_cfg = cfg.with_(bucket_cap=max(cfg.bucket_cap, 4096))
+    pairs = candidate_pairs(bands, sim_cfg, distinct=True).materialize()
     max_d = cfg.simhash_max_hamming
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int64())})
-        sids, ssim = _ray.get(handle)
-        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
-        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
-        ha = ssim[np.searchsorted(sids, a)]
-        hb = ssim[np.searchsorted(sids, b)]
+    def _finish(a, b, cp, ha, hb):
         d = mh.hamming64(ha.view(np.uint64), hb.view(np.uint64))
         keep = d <= max_d
         return pa.table({"a": pa.array(a[keep]),
                          "b": pa.array(b[keep]),
-                         "hamming": pa.array(d[keep])})
+                         "hamming": pa.array(d[keep]),
+                         "capped": pa.array(cp[keep])})
 
-    return pairs.materialize().map_batches(verify,
-                                           batch_format="pyarrow")
+    _EMPTY = pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64()),
+                       "hamming": pa.array([], pa.int64()),
+                       "capped": pa.array([], pa.bool_())})
+
+    if slim.count() <= BROADCAST_SIG_LIMIT:
+        import ray as _ray
+
+        tbl = pa.concat_tables(
+            [b for b in slim.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)])
+        ids_np = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        order = np.argsort(ids_np)
+        handle = _ray.put((ids_np[order], np.asarray(
+            tbl["simhash"].to_numpy(zero_copy_only=False),
+            dtype=np.int64)[order]))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY
+            sids, ssim = _ray.get(handle)
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            cp = np.asarray(batch["capped"].to_numpy(
+                zero_copy_only=False), dtype=bool)
+            ha = ssim[np.searchsorted(sids, a)]
+            hb = ssim[np.searchsorted(sids, b)]
+            return _finish(a, b, cp, ha, hb)
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    # join fallback: fingerprint table too big to broadcast — attach the
+    # int64 simhash to each side with hash joins
+    both = _join_both_sides(
+        pairs.select_columns(["a", "b", "capped"]), slim, "simhash",
+        "sh", join_parts(cfg))
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cp = np.asarray(batch["capped"].to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        ha = np.asarray(batch["sh_a"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        hb = np.asarray(batch["sh_b"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        return _finish(a, b, cp, ha, hb)
+
+    return both.map_batches(verify_joined, batch_format="pyarrow")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -60,6 +61,19 @@ def _cosine_parity(qraw: np.ndarray, braw: np.ndarray) -> np.ndarray:
     return out
 
 
+def _take_rows_by_id(ds: ray.data.Dataset, ids: list[int],
+                     id_col: str) -> list[dict]:
+    """Collect the (driver-small) rows whose id is in ``ids`` with ONE
+    vectorized ``pc.is_in`` filter pass — never a per-row Python lambda
+    over the corpus."""
+    id_arr = pa.array(sorted(set(ids)), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=id_arr))
+
+    return ds.map_batches(keep, batch_format="pyarrow").take_all()
+
+
 def knn_brute(embeddings: ray.data.Dataset, query_ids: list[int],
               k: int = 10, id_col: str = "vec_id",
               emb_col: str = "embedding",
@@ -69,10 +83,7 @@ def knn_brute(embeddings: ray.data.Dataset, query_ids: list[int],
 
     ``exact_parity=True`` scores with sequential-accumulation cosine
     (bit-identical to the DuckDB oracle) instead of BLAS."""
-    qset = set(query_ids)
-    qrows = (embeddings
-             .filter(lambda r: r[id_col] in qset)
-             .take_all())
+    qrows = _take_rows_by_id(embeddings, query_ids, id_col)
     qrows.sort(key=lambda r: r[id_col])
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qraw = np.array([r[emb_col] for r in qrows], dtype=np.float64)
@@ -99,9 +110,13 @@ def knn_brute(embeddings: ray.data.Dataset, query_ids: list[int],
             cand = np.flatnonzero(mask)
             if len(cand) == 0:
                 continue
-            take = cand[np.argpartition(-row[cand],
-                                        min(kk, len(cand)) - 1)
-                        [:min(kk, len(cand))]]
+            # batch-local top-k by the FULL total order (-cosine, vec_id)
+            # — an argpartition on cosine alone picks an arbitrary subset
+            # among ties (duplicate embeddings), which can disagree with
+            # the oracle's ORDER BY cosine DESC, vec_id and vary with
+            # block layout
+            order = np.lexsort((bids[cand], -row[cand]))
+            take = cand[order[:min(kk, len(cand))]]
             out_q.append(np.full(len(take), ids_q[qi], dtype=np.int64))
             out_v.append(bids[take])
             out_c.append(row[take])
@@ -185,8 +200,7 @@ def ivf_search(assigned: ray.data.Dataset, centroids: np.ndarray,
                ) -> ray.data.Dataset:
     """ANN top-k probing only the ``nprobe`` nearest centroid partitions
     per query. Recall < 1 by design; tested against ``knn_brute``."""
-    qset = set(query_ids)
-    qrows = assigned.filter(lambda r: r[id_col] in qset).take_all()
+    qrows = _take_rows_by_id(assigned, query_ids, id_col)
     qrows.sort(key=lambda r: r[id_col])
     qmat = _normalize(np.array([r[emb_col] for r in qrows],
                                dtype=np.float64))
