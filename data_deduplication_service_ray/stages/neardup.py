@@ -258,16 +258,17 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
             return batch.filter(pc.is_in(batch["band_hash"],
                                          value_set=hot_arr))
 
-        cold = bands.map_batches(split_cold, batch_format="pyarrow")
+        # materialize the cold split: Ray 2.49's hash join raises
+        # ArrowInvalid when one side is a fully EMPTY dataset (observed
+        # with extreme skew — every band row hot), so the split must be
+        # counted before the self-join can be planned
+        cold = bands.map_batches(
+            split_cold, batch_format="pyarrow").materialize()
         hot = bands.map_batches(split_hot, batch_format="pyarrow")
+        cold_empty = cold.count() == 0
     else:
         cold, hot = bands, None
-
-    # ---- cold path: arrow hash self-join, all pairs within bucket ----
-    left = cold.rename_columns({"file_id": "a"})
-    right = cold.rename_columns({"file_id": "b"})
-    joined = left.join(right, join_type="inner", num_partitions=nparts,
-                       on=("band_hash",))
+        cold_empty = False
 
     def finish_cold(batch: pa.Table) -> pa.Table:
         keep = pc.less(batch["a"], batch["b"])
@@ -276,7 +277,18 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
             "a": out["a"], "b": out["b"],
             "capped": pa.array(np.zeros(out.num_rows, dtype=bool))})
 
-    pairs = joined.map_batches(finish_cold, batch_format="pyarrow")
+    if cold_empty:
+        pairs = ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.bool_())}))
+    else:
+        # ---- cold path: arrow hash self-join, all pairs in bucket ----
+        left = cold.rename_columns({"file_id": "a"})
+        right = cold.rename_columns({"file_id": "b"})
+        joined = left.join(right, join_type="inner",
+                           num_partitions=nparts, on=("band_hash",))
+        pairs = joined.map_batches(finish_cold, batch_format="pyarrow")
 
     # ---- hot path: window edges from the few heavy buckets ----------
     if hot is not None:
@@ -727,13 +739,17 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
         shifts = (np.arange(n_bands, dtype=np.uint64)
                   * np.uint64(band_bits))
         vals = ((sim[:, None] >> shifts[None, :]) & mask)
-        # mix band index in so the shuffle key is one int64
+        # mix band index in so the shuffle key is one int64. The index
+        # must live in DISJOINT bits (shifted above the value), not be
+        # XORed into the small value range: band values span only
+        # 2**band_bits, so an xor'd index makes buckets from different
+        # bands collide onto one key (observed: 128 bands collapsing to
+        # ~256 merged buckets — blowup + capping with zero information)
         from data_deduplication_service_ray.functions.hashing import (
             splitmix64)
 
-        mixed = splitmix64(
-            vals ^ (np.arange(n_bands, dtype=np.uint64)[None, :]
-                    + np.uint64(0x51)))
+        idx = np.arange(n_bands, dtype=np.uint64)
+        mixed = splitmix64((idx[None, :] << np.uint64(band_bits)) | vals)
         return pa.table({
             "band_hash": _as_i64(mixed.reshape(-1)),
             "file_id": pa.array(np.repeat(ids, n_bands)),

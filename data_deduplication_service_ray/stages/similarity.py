@@ -313,12 +313,15 @@ def embedding_neardup_pairs(embeddings: ray.data.Dataset, dim: int,
         bits = ((mat @ r) > 0).astype(np.uint64)       # (n, n_bits)
         vals = (bits.reshape(len(mat), n_bands, band_bits)
                 * weights[None, None, :]).sum(axis=2).astype(np.uint64)
-        # mix the band index into the bucket key (single-key shuffle)
+        # mix the band index into the bucket key (single-key shuffle);
+        # the index is SHIFTED above the value bits — xor'ing it into the
+        # small value range merges buckets across bands (see
+        # neardup.simhash_pairs)
         from data_deduplication_service_ray.functions.hashing import (
             splitmix64)
 
-        mixed = splitmix64(
-            vals ^ np.arange(n_bands, dtype=np.uint64)[None, :])
+        idx = np.arange(n_bands, dtype=np.uint64)
+        mixed = splitmix64((idx[None, :] << np.uint64(band_bits)) | vals)
         return pa.table({
             "band_hash": pa.array(mixed.reshape(-1).view(np.int64)),
             "file_id": pa.array(np.repeat(ids, n_bands)),

@@ -334,3 +334,54 @@ def test_containment_stage_finds_planted(pipe, small_corpus_dir):
         planted += 1
         assert (fids[inner], fids[outer]) in got
     assert planted >= 1
+
+
+def test_simhash_band_keys_disjoint_across_bands():
+    """Regression: band bucket keys from DIFFERENT bands must never
+    collide. Band values span only 2**band_bits, so the band index must
+    occupy disjoint (shifted) bits — xor'ing it into the value range
+    merged buckets across bands (observed: 128 embedding bands
+    collapsing onto ~256 keys)."""
+    import pyarrow as pa
+    import ray.data
+
+    from data_deduplication_service_ray.stages.neardup import simhash_pairs
+
+    # 256 fingerprints: value i in band 0, zero in bands 1..3
+    sigs = ray.data.from_arrow(pa.table({
+        "file_id": pa.array(range(256), pa.int64()),
+        "simhash": pa.array(range(256), pa.int64()),
+        "n_shingles": pa.array([100] * 256, pa.int64()),
+    }))
+    # reach into the band expansion via simhash_pairs' to_bands by
+    # monkey-free reconstruction: run the full op and assert no
+    # cross-band merge produced spurious Hamming<=8 pairs beyond the
+    # true ones (values 0..255 differ in at most 8 low bits, so true
+    # pair count is computable exactly)
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_pairs(sigs, CFG).take_all()}
+    sims = np.arange(256, dtype=np.uint64)
+    for (a, b), d in got.items():
+        true_d = int(bin(int(sims[a] ^ sims[b])).count("1"))
+        assert d == true_d and d <= CFG.simhash_max_hamming
+    # pigeonhole: every pair at d<=3 must be found (band 1..3 all-zero
+    # buckets guarantee candidacy for ALL pairs here, so exactness holds
+    # even at cap — buckets of 256 < raised cap 4096)
+    for i in range(256):
+        for j in range(i + 1, 256):
+            if bin(i ^ j).count("1") <= 3:
+                assert (i, j) in got
+
+
+def test_simhash_join_fallback_matches_broadcast(pipe, monkeypatch):
+    """The >BROADCAST_SIG_LIMIT hash-join verification path must produce
+    exactly the broadcast path's pairs."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    sigs = pipe.signatures()
+    base = {(r["a"], r["b"], r["hamming"], r["capped"])
+            for r in nd.simhash_pairs(sigs, CFG).take_all()}
+    monkeypatch.setattr(nd, "BROADCAST_SIG_LIMIT", 0)
+    joined = {(r["a"], r["b"], r["hamming"], r["capped"])
+              for r in nd.simhash_pairs(sigs, CFG).take_all()}
+    assert base == joined and len(base) > 0
