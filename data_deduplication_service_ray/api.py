@@ -161,6 +161,19 @@ def q_minhash_signatures(sf_dir: str):
     return _neardup(sf_dir).signatures()
 
 
+def q_minhash_signatures_token(sf_dir: str):
+    """MinHash signatures under TOKEN shingling (shingle_mode='token'):
+    whitespace-insensitive token k-grams, the standard shingle for
+    source-code dedup. Not SQL-expressible (rows-only); the whitespace-
+    invariance property is gated by pytest
+    (test_token_shingles_whitespace_invariant)."""
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+
+    cfg = CFG.with_(shingle_mode="token")
+    return NearDupPipeline(read_documents(sf_dir), cfg).signatures()
+
+
 def q_lsh_clusters(sf_dir: str):
     """Full near-dup pipeline: (file_id, cluster_id) duplicate clusters."""
     return _neardup(sf_dir).clusters()
@@ -226,6 +239,35 @@ def q_containment(sf_dir: str):
     p = _neardup(sf_dir)
     return containment_in_clusters(p.normalized(), p.clusters(),
                                    num_partitions=join_parts(CFG))
+
+
+def q_containment_sql(sf_dir: str):
+    """SQL-oracled containment baseline: the generalized-suffix-array
+    kernel over the WHOLE corpus as one group, uncapped — exactly the
+    pairs DuckDB's ``position(a.text IN b.text) > 0`` produces. This
+    gives the SA kernel itself a value-level oracle (the cluster-scoped
+    ``containment`` query remains the scale path; a corpus-wide single
+    group is only tractable at oracle scale)."""
+    import numpy as np
+
+    from data_deduplication_service_ray.stages.containment import (
+        containment_within_groups)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def one_group(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array(np.zeros(batch.num_rows, dtype=np.int64)))
+
+    grouped = docs.map_batches(one_group, batch_format="pyarrow")
+    res = containment_within_groups(grouped, group_col="g",
+                                    max_occurrences=1 << 30)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"inner_id": batch["inner"],
+                         "outer_id": batch["outer"]})
+
+    return res.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -384,11 +426,13 @@ QUERIES = {
     "segment_store_s16": q_segment_store_s16,
     "segment_store_cdc": q_segment_store_cdc,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_signatures_token": q_minhash_signatures_token,
     "lsh_clusters": q_lsh_clusters,
     "neardup_pairs": q_neardup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "containment": q_containment,
+    "containment_sql": q_containment_sql,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -496,6 +540,11 @@ ORACLE_SQL = {
     "dir_listing": """
         SELECT doc_id AS file_id, source, lang
         FROM documents WHERE source LIKE 'src1%'
+    """,
+    "containment_sql": """
+        SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+        FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+        WHERE length(a.text) > 0 AND position(a.text IN b.text) > 0
     """,
     "ngram_jaccard": """
         WITH g AS (

@@ -52,6 +52,9 @@ class PipelineConfig:
     # --- shingling for near-dup -----------------------------------------
     shingle_k: int = 8              # char k-gram width
     shingle_mode: str = "char"      # "char" | "token" | "cdc"
+    shingle_token_k: int = 5        # token k-gram width for mode="token"
+                                    # (whitespace-insensitive source-code
+                                    # shingles; 5 tokens ≈ one statement)
     cdc_min: int = 32               # content-defined chunking bounds
     cdc_avg_bits: int = 6           # avg chunk = 2**bits
     cdc_max: int = 256

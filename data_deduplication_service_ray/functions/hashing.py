@@ -14,6 +14,7 @@ determinism requirement).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
@@ -62,6 +63,53 @@ def kgram_hashes(data: bytes, k: int) -> np.ndarray:
     b64 = b.astype(np.uint64)
     for j in range(k):
         acc = (acc * _KGRAM_MULT[j % 64] + b64[j:j + m]) & _MASK64
+    return splitmix64(acc)
+
+
+#: token pattern for token-mode shingling: identifiers/numbers plus
+#: single punctuation marks — whitespace (indentation, line breaks) never
+#: reaches a shingle, the property char k-grams lack on source code.
+_TOKEN_RE = re.compile(rb"\w+|[^\w\s]")
+
+#: per-process token -> 64-bit-hash memo (source code repeats a small
+#: vocabulary massively; bounded, cleared wholesale when full)
+_TOKEN_HASH_MEMO: dict[bytes, int] = {}
+_TOKEN_MEMO_MAX = 1 << 20
+
+
+def _token_hash(tok: bytes) -> int:
+    h = _TOKEN_HASH_MEMO.get(tok)
+    if h is None:
+        if len(_TOKEN_HASH_MEMO) >= _TOKEN_MEMO_MAX:
+            _TOKEN_HASH_MEMO.clear()
+        h = int.from_bytes(
+            hashlib.blake2b(tok, digest_size=8).digest(), "big")
+        _TOKEN_HASH_MEMO[tok] = h
+    return h
+
+
+def token_kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """All overlapping k-token-gram 64-bit hashes of ``data``.
+
+    The token shingle mode for source-code dedup (the reference's
+    segmentation mode is a first-class free parameter,
+    test/bencmark.cpp:18-19; token k-grams are the standard choice for
+    code near-dup): re-indented / re-flowed code keeps an identical
+    token stream, hence an identical shingle set. Fewer than ``k``
+    tokens yields one shingle of the whole stream (partial-tail
+    semantics as in ``kgram_hashes``); no tokens yields empty.
+    """
+    toks = _TOKEN_RE.findall(data)
+    n = len(toks)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((_token_hash(t) for t in toks),
+                     dtype=np.uint64, count=n)
+    m = max(n - k + 1, 1)
+    kk = min(k, n)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(kk):
+        acc = (acc * _KGRAM_MULT[j % 64] + th[j:j + m]) & _MASK64
     return splitmix64(acc)
 
 

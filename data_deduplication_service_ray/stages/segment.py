@@ -120,8 +120,10 @@ def segment_recipe(ds: ray.data.Dataset, cfg: PipelineConfig,
 
 
 def shingle_array(text: str, cfg: PipelineConfig) -> np.ndarray:
-    """uint64 shingle hashes for the near-dup path (char k-grams or CDC)."""
-    from data_deduplication_service_ray.functions.hashing import kgram_hashes
+    """uint64 shingle hashes for the near-dup path (char k-grams, token
+    k-grams, or CDC chunk identities — ``cfg.shingle_mode``)."""
+    from data_deduplication_service_ray.functions.hashing import (
+        kgram_hashes, token_kgram_hashes)
 
     if cfg.shingle_mode == "cdc":
         segs = _cdc_segments(text, cfg)
@@ -130,6 +132,9 @@ def shingle_array(text: str, cfg: PipelineConfig) -> np.ndarray:
         raw = np.array([hash_bytes_u64(s.encode("utf-8")) for s in segs],
                        dtype=np.uint64)
         return raw
+    if cfg.shingle_mode == "token":
+        return token_kgram_hashes(text.encode("utf-8"),
+                                  cfg.shingle_token_k)
     return kgram_hashes(text.encode("utf-8"), cfg.shingle_k)
 
 

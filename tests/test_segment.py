@@ -7,6 +7,8 @@ content rejected.
 
 import hashlib
 
+import numpy as np
+
 import pyarrow as pa
 import pytest
 
@@ -114,3 +116,36 @@ def test_cdc_shift_resilience():
 def test_fixed_segments_match_python_slicing():
     text = "abcdefghij"
     assert _fixed_segments(text, 3) == ["abc", "def", "ghi", "j"]
+
+
+def test_token_shingles_whitespace_invariant():
+    """Token-mode shingles must be identical under re-indentation /
+    re-flowing (the property char k-grams lack on source code), and
+    must change when a token changes."""
+    from data_deduplication_service_ray.stages.segment import shingle_array
+
+    cfg = CFG.with_(shingle_mode="token")
+    code = "def f(x):\n    return x + 1\n"
+    reflowed = "def f(x):\n\n\treturn x   + 1"
+    edited = "def f(y):\n    return y + 1\n"
+    a = shingle_array(code, cfg)
+    b = shingle_array(reflowed, cfg)
+    c = shingle_array(edited, cfg)
+    assert np.array_equal(np.sort(a), np.sort(b))
+    assert not np.array_equal(np.sort(a), np.sort(c))
+    # distinct from char-mode shingles
+    char = shingle_array(code, CFG.with_(shingle_mode="char"))
+    assert not np.array_equal(np.sort(a), np.sort(char))
+
+
+def test_token_shingles_partial_and_empty():
+    from data_deduplication_service_ray.stages.segment import shingle_array
+
+    cfg = CFG.with_(shingle_mode="token")
+    assert len(shingle_array("", cfg)) == 0
+    assert len(shingle_array("   \n\t ", cfg)) == 0       # whitespace only
+    one = shingle_array("x", cfg)                          # < k tokens
+    assert len(one) == 1
+    # deterministic across calls (memo must not perturb values)
+    again = shingle_array("x", cfg)
+    assert np.array_equal(one, again)
