@@ -73,7 +73,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], int]:
 
 
 def _headline_only(sf_dir: str, num_cpus: int) -> dict:
-    """Full near-dup pipeline wall time (for --scaling subprocess runs)."""
+    """Full near-dup pipeline wall time + per-stage breakdown (for
+    --scaling subprocess runs). The pipeline materializes each stage in
+    sequence anyway, so timing the stage builds equals the plain
+    ``clusters().count()`` execution while exposing which stages scale."""
     _init_ray(num_cpus)
     from data_deduplication_service_ray import api
     from data_deduplication_service_ray.pipelines.neardup import (
@@ -85,16 +88,28 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
     docs = (read_corpus(scale_input) if scale_input
             else read_documents(sf_dir))
     n_files = docs.count()
+    stages: dict[str, float] = {}
     t0 = time.perf_counter()
     p = NearDupPipeline(docs, api.CFG)
-    p.clusters().count()
+
+    def mark(name, fn):
+        s = time.perf_counter()
+        fn()
+        stages[name] = round(time.perf_counter() - s, 3)
+
+    mark("exact_catalog", lambda: (p.sha_fid(), p.file_groups()))
+    mark("representatives", lambda: p.representatives())
+    mark("signatures", lambda: p.signatures())
+    mark("candidates", lambda: p.candidate_pairs())
+    mark("verify", lambda: p.verified_pairs())
+    mark("clusters", lambda: p.clusters().count())
     sec = time.perf_counter() - t0
     import ray
 
     ray.shutdown()
     return {"sec": round(sec, 3), "n_files": n_files,
             "files_per_sec": round(n_files / sec, 2),
-            "num_cpus": num_cpus}
+            "stages": stages, "num_cpus": num_cpus}
 
 
 def _cpu_scaling_ceiling() -> float | None:
@@ -145,20 +160,35 @@ def main() -> None:
             corpus_path)
 
         n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "320000"))
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         corpus_dir = corpus_path(n_rows)
         scale_input = f"{corpus_dir}/corpus.parquet"
-        results = {}
-        for cpus in (8, 32):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--headline-subprocess", str(cpus)],
-                capture_output=True, text=True, check=True,
-                env={**os.environ, "GRAFT_SCALING_INPUT": scale_input})
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        # This host carries co-tenant load that swings identical runs by
+        # +-40% on minute timescales; a single (T8, T32) pair sampled at
+        # different load levels is meaningless. Alternate the two CPU
+        # configs over `reps` rounds and take the BEST run per config
+        # (closest to the unloaded machine); every sample is disclosed
+        # in the output.
+        samples: dict[int, list[dict]] = {8: [], 32: []}
+        for _ in range(reps):
+            for cpus in (8, 32):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--headline-subprocess", str(cpus)],
+                    capture_output=True, text=True, check=True,
+                    env={**os.environ, "GRAFT_SCALING_INPUT": scale_input})
+                samples[cpus].append(
+                    json.loads(out.stdout.strip().splitlines()[-1]))
+        results = {c: min(s, key=lambda d: d["sec"])
+                   for c, s in samples.items()}
         thr8 = results[8]["files_per_sec"]
         thr32 = results[32]["files_per_sec"]
         eff = (thr32 / thr8) / 4.0
         ceiling = _cpu_scaling_ceiling()
+        stage_eff = {
+            k: round((results[8]["stages"][k]
+                      / max(results[32]["stages"][k], 1e-9)) / 4.0, 3)
+            for k in results[8].get("stages", {})}
         print(json.dumps({
             "metric": "neardup scaling efficiency 8→32 cpus",
             "value": round(eff, 3), "unit": "efficiency",
@@ -166,6 +196,11 @@ def main() -> None:
             "sf": SF_DIR, "throughput_8cpu": thr8,
             "throughput_32cpu": thr32,
             "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
+            "samples_sec_8cpu": [s["sec"] for s in samples[8]],
+            "samples_sec_32cpu": [s["sec"] for s in samples[32]],
+            "stages_8cpu": results[8].get("stages"),
+            "stages_32cpu": results[32].get("stages"),
+            "stage_efficiency": stage_eff,
             "n_files": results[32]["n_files"],
             "hw_ceiling_efficiency": ceiling,
             "efficiency_vs_hw_ceiling": round(eff / ceiling, 3)

@@ -16,12 +16,22 @@ from data_deduplication_service_ray.config import PipelineConfig, HASH_REGISTRY
 
 
 def configure_context() -> None:
-    """Engine-wide Ray Data context hook (idempotent). Currently a
-    no-op: the default sort-based shuffle strategy benchmarked best for
-    this pipeline's aggregate mix (a global HASH_SHUFFLE switch — which
-    ``repartition(keys=...)`` would require — regressed the aggregate
-    stages ~2x at 32 CPUs). Kept as the central place for future
-    context tuning; called by readers and pipeline constructors."""
+    """Engine-wide Ray Data context hook (idempotent); called by readers
+    and pipeline constructors BEFORE dataset creation (datasets snapshot
+    the context).
+
+    - ``target_max_block_size`` 128 MiB -> 32 MiB: the default fuses a
+      ~0.5 GiB corpus scan into a handful of read tasks, capping read +
+      decode parallelism identically at 8 and 32 CPUs (measured: the
+      scan floor didn't move with 4x the cores). 32 MiB keeps per-block
+      overhead negligible while giving every stage per-core granularity.
+    - shuffle strategy stays the default sort-based one: a global
+      HASH_SHUFFLE switch — which ``repartition(keys=...)`` would
+      require — regressed the aggregate stages ~2x at 32 CPUs."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.target_max_block_size = 32 * 1024 * 1024
 
 
 __all__ = ["PipelineConfig", "HASH_REGISTRY", "configure_context"]

@@ -50,6 +50,36 @@ def _core(sf_dir: str) -> DedupCore:
     return DedupCore(read_documents(sf_dir), CFG)
 
 
+def hexify_col(ds: ray.data.Dataset,
+               col: str = "segment_hash") -> ray.data.Dataset:
+    """Binary digest column -> lowercase hex, at the oracle boundary
+    ONLY (internally digests ride shuffles as raw bytes — hex would
+    double the key width on the store/recipe/reconstruct paths).
+
+    Vectorized: one ``hexlify`` over the batch's concatenated digests,
+    then a StringArray rebuilt from uniform offsets (digests are
+    fixed-width per config). Hex is byte-order-preserving, so sorts
+    done on the binary column survive the conversion."""
+    import binascii
+
+    import numpy as np
+
+    def conv(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index(col)
+        arr = batch[col].combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return batch.set_column(idx, col, pa.array([], pa.string()))
+        hexed = binascii.hexlify(b"".join(arr.to_pylist()))
+        width = len(hexed) // n
+        offs = np.arange(n + 1, dtype=np.int32) * width
+        sa = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offs.tobytes()), pa.py_buffer(hexed))
+        return batch.set_column(idx, col, sa)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # Ray-side queries
 # --------------------------------------------------------------------------
@@ -61,12 +91,12 @@ def q_exact_dedup(sf_dir: str):
 
 def q_segment_store(sf_dir: str):
     """Refcounted segment store (A2 upsert-merge analog)."""
-    return _core(sf_dir).store()
+    return hexify_col(_core(sf_dir).store())
 
 
 def q_file_recipe(sf_dir: str):
     """Per-file recipe rows (the reference's ``data`` table)."""
-    return _core(sf_dir).recipe(keep_data=False)
+    return hexify_col(_core(sf_dir).recipe(keep_data=False))
 
 
 def q_reconstruct(sf_dir: str):
@@ -93,7 +123,7 @@ def q_delete_refcounts(sf_dir: str):
     doomed = (read_documents(sf_dir, columns=["doc_id", "source"])
               .filter(expr="source == 'src0'"))
     ids = {r["file_id"] for r in doomed.take_all()}
-    return exact.delete_files(core.recipe(), ids)
+    return hexify_col(exact.delete_files(core.recipe(), ids))
 
 
 def q_top_segments(sf_dir: str):
@@ -101,22 +131,23 @@ def q_top_segments(sf_dir: str):
     tie-break on segment_hash)."""
     store = _core(sf_dir).store().select_columns(
         ["segment_hash", "segment_count"])
-    return store.sort(["segment_count", "segment_hash"],
-                      descending=[True, False]).limit(20)
+    top = store.sort(["segment_count", "segment_hash"],
+                     descending=[True, False]).limit(20)
+    return hexify_col(top)  # hex is order-preserving over the bytes
 
 
 def q_segment_store_md5(sf_dir: str):
     """Segment store under the md5 digest (hash-registry variant M1;
     the reference's per-database hash choice, include/HashUtils.h:48-56)."""
     cfg = CFG.with_(segment_hash="md5")
-    return DedupCore(read_documents(sf_dir), cfg).store()
+    return hexify_col(DedupCore(read_documents(sf_dir), cfg).store())
 
 
 def q_segment_store_s16(sf_dir: str):
     """Segment store at segment_size=16 (the reference's segment-size
     sweep, test/bencmark.cpp:18-19)."""
     cfg = CFG.with_(segment_size=16)
-    return DedupCore(read_documents(sf_dir), cfg).store()
+    return hexify_col(DedupCore(read_documents(sf_dir), cfg).store())
 
 
 def q_segment_store_cdc(sf_dir: str):
@@ -128,7 +159,7 @@ def q_segment_store_cdc(sf_dir: str):
     from data_deduplication_service_ray.stages import exact, segment
 
     recipe = segment.segment_recipe(core.docs, cfg, mode="cdc")
-    return exact.segment_store(recipe)
+    return hexify_col(exact.segment_store(recipe))
 
 
 def q_dir_listing(sf_dir: str):

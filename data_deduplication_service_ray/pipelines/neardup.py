@@ -2,11 +2,14 @@
 
 Composition (BASELINE.json north_star; stage plan SURVEY.md §7.2):
 
-    docs ──normalize──► sha256 rows
-      ├─ exact groups: groupby(content_sha256) → representatives + exact
-      │  member→rep edges (the reference's whole-file dedup, D4)
+    docs ──normalize──► slim catalog (content_sha256, file_id)
+      ├─ exact groups: SLIM groupby/driver-sort → (sha, rep, dup_count);
+      │  representatives = broadcast id-filter over the RAW scan, exact
+      │  member→rep edges = broadcast sha→rep map — content never enters
+      │  a shuffle (the reference's whole-file dedup, D4)
       ├─ representatives ──SignatureStage──► MinHash(128)+SimHash-64
-      │     ──band_rows──► LSH bucket shuffle ──► candidate pairs
+      │     ──band_rows──► singleton-bitmap filter ──► LSH bucket
+      │     self-join ──► candidate pairs
       │     ──verify (exact Jaccard + Hamming + containment)──► edges
       └─ edges ∪ exact edges ──union-find──► clusters (+ singletons)
 
@@ -39,6 +42,46 @@ from data_deduplication_service_ray.stages import cluster as cl
 from data_deduplication_service_ray.stages import exact, neardup, normalize
 
 
+#: Broadcast the exact-layer group map (content_sha256 -> representative,
+#: ~72 B/row => ~1.4 GiB at the limit) while the distinct-content count
+#: stays below this; past it, representatives/exact_edges fall back to
+#: the fused content-carrying ``exact.rep_groups`` shuffle.
+REP_BROADCAST_LIMIT = 20_000_000
+
+#: Below this many catalog rows the exact grouping is ONE np.lexsort on
+#: the driver (the slim catalog is ~72 B/row, so 5M rows ≈ 360 MB);
+#: Ray's sort-shuffle aggregate costs seconds of fixed setup that dwarfs
+#: a driver reduce at this size. Past it, the distributed groupby runs.
+DRIVER_GROUP_LIMIT = 5_000_000
+
+
+def _edges_from_rep_groups(groups: ray.data.Dataset) -> ray.data.Dataset:
+    """member→rep edge expansion from a fused rep_groups output (the
+    past-the-broadcast-gate fallback)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        col = batch["members"].combine_chunks()
+        offsets = np.asarray(col.offsets, dtype=np.int64)
+        values = np.asarray(col.values, dtype=np.int64)
+        reps = np.asarray(batch["file_id"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        sizes = np.diff(offsets)
+        aa, bb = [], []
+        for i in np.flatnonzero(sizes >= 2):
+            members = values[offsets[i]:offsets[i + 1]]
+            others = members[members != reps[i]]
+            aa.append(np.full(len(others), reps[i], dtype=np.int64))
+            bb.append(others)
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(aa)),
+                         "b": pa.array(np.concatenate(bb))})
+
+    return groups.select_columns(["file_id", "members"]).map_batches(
+        expand, batch_format="pyarrow")
+
+
 class NearDupPipeline:
     def __init__(self, docs: ray.data.Dataset,
                  cfg: PipelineConfig | None = None,
@@ -48,6 +91,7 @@ class NearDupPipeline:
 
         _pkg.configure_context()
         self.cfg = cfg or PipelineConfig()
+        self._raw = docs
         self.docs = normalize.normalize(docs)
         self._materialize = materialize
         self._checkpoint_dir = checkpoint_dir
@@ -81,58 +125,155 @@ class NearDupPipeline:
     def normalized(self) -> ray.data.Dataset:
         return self._stage("normalized", lambda: self.docs, mat=False)
 
-    def groups(self) -> ray.data.Dataset:
-        """Fused exact layer: ONE groupby(content_sha256) carrying the
-        representative id, dup count, member list, and representative
-        content (exact.rep_groups) — representatives / file_groups /
-        exact_edges are cheap map views of this, replacing two joins."""
+    def sha_fid(self) -> ray.data.Dataset:
+        """Materialized slim catalog (content_sha256, file_id) — ONE
+        corpus scan + hash pass, reused by the exact grouping, the edge
+        expansion and the cluster node listing (~72 B/row, so it stays
+        object-store-cheap even at 10^9 files)."""
         return self._stage(
-            "groups", lambda: exact.rep_groups(self.normalized()))
+            "sha_fid",
+            lambda: self.normalized().select_columns(
+                ["content_sha256", "file_id"]))
 
     def file_groups(self) -> ray.data.Dataset:
-        """(content_sha256, file_id=representative, dup_count)."""
-        return self.groups().select_columns(
-            ["content_sha256", "file_id", "dup_count"])
+        """(content_sha256, file_id=min member, dup_count): exact
+        whole-file dedup groups from the SLIM catalog — content never
+        rides this shuffle (the round-1 shape shuffled ~the whole corpus
+        through one groupby carrying content + member lists + Python
+        per-group aggregates; the slim catalog + broadcast views below
+        replace it). Below ``DRIVER_GROUP_LIMIT`` rows the grouping is a
+        single driver-side np.lexsort; past it, a distributed groupby of
+        native (vectorized) aggregates."""
+
+        def build() -> ray.data.Dataset:
+            sf = self.sha_fid()
+            if sf.count() <= DRIVER_GROUP_LIMIT:
+                tbl = pa.concat_tables(sf.iter_batches(
+                    batch_format="pyarrow", batch_size=None))
+                shas = np.array(tbl["content_sha256"].to_pylist(),
+                                dtype="S64")
+                fids = np.asarray(tbl["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                order = np.lexsort((fids, shas))
+                ss, ff = shas[order], fids[order]
+                new = np.ones(len(ss), dtype=bool)
+                if len(ss) > 1:
+                    new[1:] = ss[1:] != ss[:-1]
+                starts = np.flatnonzero(new)
+                counts = np.diff(np.append(starts, len(ss)))
+                return ray.data.from_arrow(pa.table({
+                    "content_sha256": pa.array(ss[starts].astype("U64")),
+                    "file_id": pa.array(ff[starts]),
+                    "dup_count": pa.array(counts.astype(np.int64))}))
+            from ray.data.aggregate import Count, Min
+
+            return sf.groupby("content_sha256").aggregate(
+                Min("file_id", alias_name="file_id"),
+                Count(alias_name="dup_count"))
+
+        return self._stage("file_groups", build)
+
+    def _group_map(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Driver copy of (sorted sha:S64, rep file_id) while the group
+        map fits ``REP_BROADCAST_LIMIT``; None past the gate. Memoized —
+        representatives() and exact_edges() share one pull."""
+        if not hasattr(self, "_gm_cache"):
+            fg = self.file_groups()
+            if fg.count() > REP_BROADCAST_LIMIT:
+                self._gm_cache = None
+            else:
+                tbl = pa.concat_tables(fg.iter_batches(
+                    batch_format="pyarrow", batch_size=None))
+                shas = np.array(tbl["content_sha256"].to_pylist(),
+                                dtype="S64")
+                reps = np.asarray(
+                    tbl["file_id"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+                order = np.argsort(shas)
+                self._gm_cache = (shas[order], reps[order])
+        return self._gm_cache
 
     def representatives(self) -> ray.data.Dataset:
-        """One (file_id, content) row per distinct content."""
-        return self.groups().select_columns(["file_id", "content"])
+        """One (file_id, content) row per distinct content.
+
+        Broadcast id-filter over the RAW input: the sorted rep-id array
+        rides into every scan task once (``ray.put``) and content flows
+        straight from the parquet scan into the signature/content
+        consumers — content never enters a shuffle. A second columnar
+        scan is strictly cheaper than an all-to-all shuffle of the same
+        bytes. Past ``REP_BROADCAST_LIMIT`` distinct contents, falls
+        back to the fused ``exact.rep_groups`` shuffle (content rides
+        the groupby exactly once)."""
+
+        def build() -> ray.data.Dataset:
+            gm = self._group_map()
+            if gm is None:
+                return exact.rep_groups(self.normalized()).select_columns(
+                    ["file_id", "content"])
+            import ray as _ray
+
+            rep_ids = np.sort(gm[1])
+            handle = _ray.put(rep_ids)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                rep = _ray.get(handle)
+                if batch.num_rows == 0 or len(rep) == 0:
+                    return batch.slice(0, 0)
+                f = np.asarray(batch["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                pos = np.minimum(np.searchsorted(rep, f), len(rep) - 1)
+                return batch.filter(pa.array(rep[pos] == f))
+
+            return (self._raw.select_columns(["file_id", "content"])
+                    .map_batches(keep, batch_format="pyarrow"))
+
+        return self._stage("representatives", build)
 
     def exact_edges(self) -> ray.data.Dataset:
-        """member→representative edges inside exact-dup groups."""
+        """member→representative edges inside exact-dup groups, via the
+        broadcast sha→rep map over the slim catalog (no shuffle); fused
+        rep_groups expansion past the broadcast gate."""
 
-        def expand(batch: pa.Table) -> pa.Table:
-            col = batch["members"].combine_chunks()
-            offsets = np.asarray(col.offsets, dtype=np.int64)
-            values = np.asarray(col.values, dtype=np.int64)
-            reps = np.asarray(batch["file_id"].to_numpy(
-                zero_copy_only=False), dtype=np.int64)
-            sizes = np.diff(offsets)
-            aa, bb = [], []
-            for i in np.flatnonzero(sizes >= 2):
-                members = values[offsets[i]:offsets[i + 1]]
-                others = members[members != reps[i]]
-                aa.append(np.full(len(others), reps[i], dtype=np.int64))
-                bb.append(others)
-            if not aa:
-                return pa.table({"a": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64())})
-            return pa.table({"a": pa.array(np.concatenate(aa)),
-                             "b": pa.array(np.concatenate(bb))})
+        def build() -> ray.data.Dataset:
+            gm = self._group_map()
+            if gm is None:
+                return _edges_from_rep_groups(
+                    exact.rep_groups(self.normalized()))
+            import ray as _ray
 
-        return self.groups().select_columns(
-            ["file_id", "members"]).map_batches(
-            expand, batch_format="pyarrow")
+            handle = _ray.put(gm)
+
+            def emit(batch: pa.Table) -> pa.Table:
+                rshas, rreps = _ray.get(handle)
+                if batch.num_rows == 0 or len(rshas) == 0:
+                    return pa.table({"a": pa.array([], pa.int64()),
+                                     "b": pa.array([], pa.int64())})
+                sh = np.array(batch["content_sha256"].to_pylist(),
+                              dtype="S64")
+                fid = np.asarray(batch["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                reps = rreps[np.searchsorted(rshas, sh)]
+                keep = reps != fid
+                return pa.table({"a": pa.array(reps[keep]),
+                                 "b": pa.array(fid[keep])})
+
+            return self.sha_fid().map_batches(emit,
+                                              batch_format="pyarrow")
+
+        return self._stage("exact_edges", build, mat=False)
 
     # -- near-dup layer ---------------------------------------------------
 
     def signatures(self) -> ray.data.Dataset:
         def build() -> ray.data.Dataset:
-            # the join upstream leaves few (large) blocks; split them so
-            # the signature pool has at least one task per actor slot
-            # (repartition without shuffle = block split, no data movement)
+            # split the (few, large) upstream blocks so the CPU-heavy
+            # signature stage gets FINE task granularity: blocks are
+            # split by row count but document bytes are skewed, and at
+            # 2 blocks/slot a straggler task (observed 1.7-8.8 s spread)
+            # idles half the wave — 8 blocks/slot packs around the skew
+            # (repartition without shuffle = block split, no movement)
             reps = self.representatives().repartition(
-                2 * neardup._pool_max(self.cfg), shuffle=False)
+                8 * neardup._pool_max(self.cfg), shuffle=False)
             return neardup.signatures(reps, self.cfg)
 
         return self._stage("signatures", build)
@@ -187,7 +328,10 @@ class NearDupPipeline:
         ``cfg.unionfind_edge_limit`` edges.
         """
         def build() -> ray.data.Dataset:
-            edges = self.edges()
+            # materialized: the auto-gate count() and the chosen
+            # clustering method both consume the edge set — without the
+            # barrier the lazy union would re-execute per consumer
+            edges = self.edges().materialize()
             chosen = method
             if chosen == "auto":
                 chosen = ("unionfind"
@@ -200,16 +344,10 @@ class NearDupPipeline:
                     edges, max_rounds=self.cfg.max_label_rounds,
                     num_partitions=join_parts(self.cfg))
 
-            # all node ids come from the MATERIALIZED groups stage
-            # (members flattened) — attaching via normalized() would
-            # re-read the corpus and re-hash content just to list ids
-            def all_ids(batch: pa.Table) -> pa.Table:
-                return pa.table({
-                    "file_id": batch["members"].combine_chunks()
-                    .flatten()})
-
-            nodes = self.groups().select_columns(["members"]).map_batches(
-                all_ids, batch_format="pyarrow")
+            # all node ids come from the MATERIALIZED slim catalog —
+            # attaching via normalized() would re-read the corpus and
+            # re-hash content just to list ids
+            nodes = self.sha_fid().select_columns(["file_id"])
             return cl.attach_singletons(
                 labels, nodes, num_partitions=join_parts(self.cfg))
 

@@ -127,11 +127,15 @@ def generate_corpus(n_rows: int, seed: int = 42,
     n_contain = max(1, int(budget * 0.05) // 2)
     n_boiler = max(2, int(budget * 0.10))
 
+    # Token budgets sized so the mean file lands near real-world source
+    # file sizes (~3-6 KB): the scaling benchmark must be dominated by
+    # the per-byte compute (shingling/MinHash/verify) the way a real
+    # corpus is, not by per-row shuffle overhead on toy snippets.
     for _ in range(n_unique):
-        emit(_content(rng, rng.randint(60, 400)), "unique", -1)
+        emit(_content(rng, rng.randint(240, 1600)), "unique", -1)
 
     for _ in range(n_exact_groups):
-        text = _content(rng, rng.randint(60, 400))
+        text = _content(rng, rng.randint(240, 1600))
         k = rng.choice([2, 2, 3])
         for _ in range(k):
             emit(text, "exact", gid)
@@ -139,26 +143,26 @@ def generate_corpus(n_rows: int, seed: int = 42,
 
     edit_cycle = [0.01, 0.05, 0.20]
     for j in range(n_near_groups):
-        text = _content(rng, rng.randint(120, 400))
+        text = _content(rng, rng.randint(480, 1600))
         rate = edit_cycle[j % 3]
         emit(text, "near", gid, rate)
         emit(_edit(rng, text, rate), "near", gid, rate)
         gid += 1
 
     for _ in range(n_contain):
-        inner = _content(rng, rng.randint(40, 120))
-        outer = (_content(rng, rng.randint(40, 150)) + "\n" + inner + "\n"
-                 + _content(rng, rng.randint(40, 150)))
+        inner = _content(rng, rng.randint(160, 480))
+        outer = (_content(rng, rng.randint(160, 600)) + "\n" + inner
+                 + "\n" + _content(rng, rng.randint(160, 600)))
         emit(inner, "contain", gid)
         emit(outer, "contain", gid)
         gid += 1
 
     for _ in range(n_boiler):
-        emit(_BOILER_HEADER + _content(rng, rng.randint(30, 120)),
+        emit(_BOILER_HEADER + _content(rng, rng.randint(120, 480)),
              "boiler", -1)
 
     while len(contents) < n_rows:
-        emit(_content(rng, rng.randint(60, 400)), "unique", -1)
+        emit(_content(rng, rng.randint(240, 1600)), "unique", -1)
 
     corpus = pa.table({
         "repo": pa.array([r[0] for r in rows], pa.string()),
@@ -176,15 +180,34 @@ def generate_corpus(n_rows: int, seed: int = 42,
     return corpus, truth
 
 
+#: rows per corpus shard file. A single-file single-row-group corpus
+#: makes the initial parquet scan SERIAL (Ray cannot split one row
+#:  group), which caps read parallelism identically at 8 and 32 CPUs and
+#: drags the measured scaling efficiency; ~5k-row shards give the reader
+#: one task per shard. v2 in the cache key invalidates the old layout.
+_SHARD_ROWS = 5_000
+
+
 def corpus_path(n_rows: int, seed: int = 42,
                 root: str = "/tmp/dedup_corpus") -> str:
-    """Generate-once cache: write corpus+truth parquet under a keyed dir."""
-    d = os.path.join(root, f"n{n_rows}_s{seed}")
+    """Generate-once cache: write corpus+truth parquet under a keyed dir.
+
+    ``corpus.parquet`` is a DIRECTORY of ~5k-row shard files (resumable-
+    output discipline + splittable scan); ``read_corpus`` accepts it
+    unchanged."""
+    d = os.path.join(root, f"n{n_rows}_s{seed}_v3")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         corpus, truth = generate_corpus(n_rows, seed)
-        pq.write_table(corpus, os.path.join(d, "corpus.parquet"))
+        shard_dir = os.path.join(d, "corpus.parquet")
+        os.makedirs(shard_dir, exist_ok=True)
+        n_shards = max(1, (corpus.num_rows + _SHARD_ROWS - 1)
+                       // _SHARD_ROWS)
+        for s in range(n_shards):
+            part = corpus.slice(s * _SHARD_ROWS, _SHARD_ROWS)
+            pq.write_table(
+                part, os.path.join(shard_dir, f"part-{s:05d}.parquet"))
         pq.write_table(truth, os.path.join(d, "truth.parquet"))
         with open(marker, "w") as f:
             f.write("ok")

@@ -34,7 +34,17 @@ def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
     _configure()
     cols = columns or ["repo", "path", "commit", "lang", "content"]
     need = sorted(set(cols) | {"repo", "path", "commit"})
-    ds = ray.data.read_parquet(path_or_dir, columns=need)
+    # one read task per ~core-quantum: the default block sizing fuses a
+    # sharded corpus into a handful of read tasks, serializing the scan
+    # (override scales with the cluster the run actually has)
+    try:
+        import ray as _ray
+
+        nblocks = 4 * max(int(_ray.cluster_resources().get("CPU", 8)), 2)
+    except Exception:
+        nblocks = 32
+    ds = ray.data.read_parquet(path_or_dir, columns=need,
+                               override_num_blocks=nblocks)
 
     def add_id(batch: pa.Table) -> pa.Table:
         ids = [stable_id64(r, p, c) for r, p, c in

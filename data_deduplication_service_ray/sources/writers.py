@@ -73,3 +73,80 @@ def write_dataset(ds: ray.data.Dataset, out_dir: str,
 def read_dataset(out_dir: str) -> ray.data.Dataset:
     """Read back a sealed directory (ignores the manifest file)."""
     return ray.data.read_parquet(out_dir)
+
+
+def export_files(ds: ray.data.Dataset, root: str,
+                 path_col: str = "path", content_col: str = "content",
+                 on_exists: str = "overwrite") -> dict:
+    """Byte-export sink: write each row's content to ``root/<path>``,
+    creating parent directories.
+
+    The reference's loadFile/loadDirectory export path (S5,
+    include/FileService.h:183-312) with its parent-dir policy
+    (CreateMissing) and exists policies mapped to ``on_exists``:
+    "overwrite" (ReplaceWithNew, include/fileUtils.h:35-40), "skip"
+    (PreserveOld), "error". Runs DISTRIBUTED — each task writes its
+    batch's files (valid on one node or a shared filesystem; on a
+    multi-node cluster point ``root`` at shared storage). Returns
+    {"written", "skipped", "root"}.
+    """
+    if on_exists not in ("overwrite", "skip", "error"):
+        raise ValueError(f"bad on_exists: {on_exists}")
+    os.makedirs(root, exist_ok=True)
+
+    def write_batch(batch):
+        import pyarrow as pa
+
+        paths = batch[path_col].to_pylist()
+        texts = batch[content_col].to_pylist()
+        written = skipped = 0
+        for p, t in zip(paths, texts):
+            norm = os.path.normpath(p).lstrip("/")
+            if norm.startswith("..") or os.path.isabs(norm):
+                raise ValueError(f"path escapes export root: {p!r}")
+            full = os.path.join(root, norm)
+            if os.path.exists(full):
+                if on_exists == "skip":
+                    skipped += 1
+                    continue
+                if on_exists == "error":
+                    raise FileExistsError(full)
+            parent = os.path.dirname(full)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            data = t.encode("utf-8") if isinstance(t, str) else bytes(t)
+            with open(full, "wb") as f:
+                f.write(data)
+            written += 1
+        return pa.table({"written": pa.array([written]),
+                         "skipped": pa.array([skipped])})
+
+    parts = ds.select_columns([path_col, content_col]).map_batches(
+        write_batch, batch_format="pyarrow").take_all()
+    return {"written": sum(r["written"] for r in parts),
+            "skipped": sum(r["skipped"] for r in parts),
+            "root": root}
+
+
+def compare_directories(dir_a: str, dir_b: str) -> list[str]:
+    """Byte-compare two file trees; returns sorted relative paths that
+    differ or exist on one side only (empty list == identical trees).
+    The reference's round-trip gate (compareDirectories,
+    lib/fileUtils.cpp:6-94; benchmark correctness check
+    test/bencmark.cpp:157-171)."""
+
+    def tree(root: str) -> dict[str, str]:
+        out = {}
+        for r, _d, names in os.walk(root):
+            for n in names:
+                p = os.path.join(r, n)
+                out[os.path.relpath(p, root)] = p
+        return out
+
+    ta, tb = tree(dir_a), tree(dir_b)
+    bad = set(ta.keys()) ^ set(tb.keys())
+    for rel in set(ta) & set(tb):
+        with open(ta[rel], "rb") as fa, open(tb[rel], "rb") as fb:
+            if fa.read() != fb.read():
+                bad.add(rel)
+    return sorted(bad)

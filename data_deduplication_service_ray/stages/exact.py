@@ -104,6 +104,37 @@ def delete_files(recipe: ray.data.Dataset,
     return segment_store(recipe.map_batches(drop, batch_format="pyarrow"))
 
 
+def delete_files_antijoin(recipe: ray.data.Dataset,
+                          doomed: ray.data.Dataset,
+                          num_partitions: int = 8) -> ray.data.Dataset:
+    """Large-delete path: recompute the store without the files named by
+    the ``doomed`` dataset (column ``file_id``), via a distributed
+    LEFT-OUTER anti-join on file_id.
+
+    ``delete_files`` broadcasts a driver-small id list into every task
+    (the reference's per-file/per-directory deletes); this variant
+    handles delete sets that are themselves datasets (e.g. "drop every
+    file matching a quality filter" at corpus scale) — the doomed side
+    rides a hash shuffle once, no driver materialization. Identical
+    result to ``delete_files`` on the same id set
+    (test_delete_antijoin_matches_small_path)."""
+    marked = doomed.select_columns(["file_id"]).map_batches(
+        lambda t: t.append_column(
+            "_doomed", pa.array([True] * t.num_rows, pa.bool_())),
+        batch_format="pyarrow").materialize()
+    if marked.count() == 0:       # empty join side crashes Ray 2.49
+        return segment_store(recipe)
+    joined = recipe.join(marked, join_type="left_outer",
+                         num_partitions=num_partitions, on=("file_id",))
+
+    def keep_unmarked(batch: pa.Table) -> pa.Table:
+        return (batch.filter(pc.is_null(batch["_doomed"]))
+                .drop_columns(["_doomed"]))
+
+    return segment_store(joined.map_batches(keep_unmarked,
+                                            batch_format="pyarrow"))
+
+
 def refcount_invariant(recipe: ray.data.Dataset,
                        store: ray.data.Dataset) -> int:
     """A6 analog (lib/dbCommon.cpp:192-202): recount the recipe and compare

@@ -199,7 +199,10 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
     # phase 2: EXACT global counts of the candidate keys only — the hot
     # set must not depend on block layout (the 8-CPU and 32-CPU runs lay
     # blocks out differently, and a layout-dependent hot set makes the
-    # emitted pair set nondeterministic)
+    # emitted pair set nondeterministic). Per-block exact partials are
+    # summed on the DRIVER (the candidate key set is tiny by
+    # construction) — a distributed Sum groupby here costs seconds of
+    # sort-shuffle setup for a few-thousand-row reduce.
     cand_arr = pa.array(sorted(candidates), pa.int64())
 
     def count_candidates(batch: pa.Table) -> pa.Table:
@@ -208,15 +211,166 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
         agg = sub.group_by("band_hash").aggregate([("file_id", "count")])
         return agg.rename_columns(["band_hash", "cnt"])
 
-    from ray.data.aggregate import Sum
+    parts = bands.map_batches(count_candidates, batch_format="pyarrow",
+                              batch_size=None)
+    keys_l: list[np.ndarray] = []
+    cnts_l: list[np.ndarray] = []
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys_l.append(np.asarray(
+            b["band_hash"].to_numpy(zero_copy_only=False),
+            dtype=np.int64))
+        cnts_l.append(np.asarray(
+            b["cnt"].to_numpy(zero_copy_only=False), dtype=np.int64))
+    if not keys_l:
+        return np.empty(0, dtype=np.int64)
+    keys = np.concatenate(keys_l)
+    cnts = np.concatenate(cnts_l)
+    u, inv = np.unique(keys, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, cnts)
+    return np.sort(u[tot > cap])
 
-    totals = (bands.map_batches(count_candidates, batch_format="pyarrow",
-                                batch_size=None)
-              .groupby("band_hash")
-              .aggregate(Sum("cnt", alias_name="total")))
-    hot = totals.filter(expr=f"total > {cap}")
-    keys = [r["band_hash"] for r in hot.take_all()]
-    return np.sort(np.asarray(keys, dtype=np.int64))
+
+def _multi_occurrence_bitmap(bands: ray.data.Dataset,
+                             n_rows: int,
+                             scan_blocks: int = 32
+                             ) -> tuple[np.ndarray, int]:
+    """One streaming pass -> packed bitmap of band-hash SLOTS that hold a
+    key occurring >= 2 times globally (slot = low bits of the mixed
+    band_hash, which is splitmix64-uniform).
+
+    The LSH self-join's input is dominated by SINGLETON band keys —
+    unique documents produce unique band hashes — and a singleton can
+    never produce a pair, yet the hash join ships it through the shuffle
+    twice (both sides). Filtering the join input through this bitmap is
+    an exact-semantics semi-join reduction: a key seen >= 2 anywhere
+    always has its bit set (no false negatives), while a bitmap
+    collision merely lets a singleton through to produce one (a == a)
+    row that the a < b filter drops — correctness is untouched, shuffle
+    bytes drop by the singleton fraction.
+
+    Bitmap is sized ~4 bits/row (power of two, capped at 2^30 bits =
+    128 MiB) => ~20% false-positive rate; block partials are OR-combined
+    on the driver with an exact cross-block once&once -> multi rule
+    (order-independent, hence deterministic). The band table is
+    coalesced to ``scan_blocks`` blocks so partial bitmaps stay bounded
+    (scan_blocks x bitmap bytes through the object store). At 10^12-row
+    scale a flat bitmap stops fitting — shard the pass by key range
+    (the bitmap is indexed by key bits, so range shards are independent)
+    or raise the per-node block size.
+    """
+    m_bits = max(20, min(30, int(np.ceil(np.log2(max(n_rows, 1) * 4)))))
+    m = 1 << m_bits
+    nbytes = m >> 3
+
+    def block_maps(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["band_hash"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        slots = (h & np.uint64(m - 1)).astype(np.int64)
+        u, c = np.unique(slots, return_counts=True)
+        once = np.zeros(nbytes, dtype=np.uint8)
+        multi = np.zeros(nbytes, dtype=np.uint8)
+        uo, um = u[c == 1], u[c >= 2]
+        np.bitwise_or.at(once, uo >> 3,
+                         (1 << (uo & 7)).astype(np.uint8))
+        np.bitwise_or.at(multi, um >> 3,
+                         (1 << (um & 7)).astype(np.uint8))
+        return pa.table({"once": pa.array([once.tobytes()], pa.binary()),
+                         "multi": pa.array([multi.tobytes()],
+                                           pa.binary())})
+
+    parts = bands.repartition(scan_blocks, shuffle=False).map_batches(
+        block_maps, batch_format="pyarrow", batch_size=None)
+    acc_once = np.zeros(nbytes, dtype=np.uint8)
+    acc_multi = np.zeros(nbytes, dtype=np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for i in range(b.num_rows):
+            o = np.frombuffer(b["once"][i].as_py(), dtype=np.uint8)
+            mlt = np.frombuffer(b["multi"][i].as_py(), dtype=np.uint8)
+            acc_multi |= mlt
+            acc_multi |= acc_once & o
+            acc_once |= o
+    return acc_multi, m
+
+
+#: Expand bucket pairs on the DRIVER while the filtered band table holds
+#: at most this many rows (16 B/row => ~320 MB pull): the expansion is
+#: one np.lexsort + vectorized upper-triangle gathers, while the
+#: distributed hash self-join pays ~10 s of shuffle on this host at any
+#: input size. Past the limit the Arrow C++ self-join runs — identical
+#: pair multiset either way (buckets are capped, so per-bucket expansion
+#: is bounded in both paths).
+DRIVER_PAIR_EXPAND_LIMIT = 20_000_000
+
+
+def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
+    """All-pairs expansion of (band_hash, file_id) rows, bucket-wise.
+
+    lexsort by (band_hash, file_id), find bucket runs, then for each
+    bucket size s emit the upper triangle via one (n_buckets_s, s*(s-1)/2)
+    gather — no Python per bucket, only per DISTINCT bucket size (<= cap
+    distinct sizes)."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "capped": pa.array([], pa.bool_())})
+    if tbl.num_rows == 0:
+        return empty
+    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((fid, bh))
+    bhs, fids = bh[order], fid[order]
+    n = len(bhs)
+    new = np.ones(n, dtype=bool)
+    new[1:] = bhs[1:] != bhs[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    aa, bb = [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        st = starts[sizes == s]
+        ii, jj = np.triu_indices(int(s), 1)
+        aa.append(fids[st[:, None] + ii[None, :]].ravel())
+        bb.append(fids[st[:, None] + jj[None, :]].ravel())
+    if not aa:
+        return empty
+    a_all = np.concatenate(aa)
+    return pa.table({"a": pa.array(a_all),
+                     "b": pa.array(np.concatenate(bb)),
+                     "capped": pa.array(np.zeros(len(a_all),
+                                                 dtype=bool))})
+
+
+def _expand_hot_driver(tbl: pa.Table, window: int) -> pa.Table:
+    """Sorted-neighbor window edges for hot buckets (driver path) —
+    same semantics as the distributed expand_hot."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "capped": pa.array([], pa.bool_())})
+    if tbl.num_rows == 0:
+        return empty
+    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((fid, bh))
+    bhs, fids = bh[order], fid[order]
+    aa, bb = [], []
+    for j in range(1, window + 1):
+        if j >= len(bhs):
+            break
+        same = bhs[j:] == bhs[:-j]
+        aa.append(fids[:-j][same])
+        bb.append(fids[j:][same])
+    if not aa:
+        return empty
+    a_all = np.concatenate(aa)
+    return pa.table({"a": pa.array(a_all),
+                     "b": pa.array(np.concatenate(bb)),
+                     "capped": pa.array(np.ones(len(a_all),
+                                                dtype=bool))})
 
 
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
@@ -244,31 +398,110 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     cap, window = cfg.bucket_cap, cfg.bucket_window
     nparts = num_partitions or join_parts(cfg)
 
+    import ray as _ray
+
     bands = bands.materialize()
+
+    # ---- driver fast path: the whole bucket step from ONE pull -------
+    # A band table at 16 B/row fits the driver far beyond any corpus this
+    # box can host (20M rows = 320 MB); one lexsort gives EXACT bucket
+    # sizes, so hot detection needs no two-phase scan, singletons drop
+    # for free, and expansion is the same vectorized triu/window gather —
+    # replacing ~6 distributed passes + 2 shuffle aggregates whose fixed
+    # costs dominate at this size. Past the gate, the fully distributed
+    # path below (two-phase hot detection, bitmap semi-join reduction,
+    # Arrow C++ self-join) computes the identical pair multiset.
+    if bands.count() <= DRIVER_PAIR_EXPAND_LIMIT:
+        batches = list(bands.iter_batches(batch_format="pyarrow",
+                                          batch_size=None))
+        if not batches:
+            pairs = ray.data.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_())}))
+            return pairs if not distinct else distinct_pairs(pairs)
+        tbl = pa.concat_tables(batches)
+        bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.lexsort((fid, bh))
+        bhs, fids = bh[order], fid[order]
+        n = len(bhs)
+        new = np.ones(n, dtype=bool)
+        new[1:] = bhs[1:] != bhs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        run_id = np.cumsum(new) - 1          # bucket index per row
+        row_sizes = sizes[run_id]
+        cold_rows = (row_sizes >= 2) & (row_sizes <= cap)
+        hot_rows = row_sizes > cap
+        cold_tbl = pa.table({"band_hash": pa.array(bhs[cold_rows]),
+                             "file_id": pa.array(fids[cold_rows])})
+        tabs = [_expand_cold_driver(cold_tbl)]
+        if hot_rows.any():
+            tabs.append(_expand_hot_driver(
+                pa.table({"band_hash": pa.array(bhs[hot_rows]),
+                          "file_id": pa.array(fids[hot_rows])}), window))
+        pairs = ray.data.from_arrow(pa.concat_tables(tabs))
+        return pairs if not distinct else distinct_pairs(pairs)
+
     hot_keys = detect_hot_keys(bands, cap)
+    bitmap, m = _multi_occurrence_bitmap(bands, bands.count())
+    bm_handle = _ray.put(bitmap)
+    slot_mask = np.uint64(m - 1)
+    hot_arr = pa.array(hot_keys) if len(hot_keys) else None
 
-    if len(hot_keys):
-        hot_arr = pa.array(hot_keys)
+    def split_cold(batch: pa.Table) -> pa.Table:
+        """Join input = not hot AND possibly-pairable (bitmap hit)."""
+        if batch.num_rows == 0:
+            return batch
+        bm = _ray.get(bm_handle)
+        h = np.asarray(batch["band_hash"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        slots = (h & slot_mask).astype(np.int64)
+        keep = (bm[slots >> 3]
+                & (1 << (slots & 7)).astype(np.uint8)) != 0
+        if hot_arr is not None:
+            keep &= np.asarray(
+                pc.invert(pc.is_in(batch["band_hash"],
+                                   value_set=hot_arr))
+                .to_numpy(zero_copy_only=False), dtype=bool)
+        return batch.filter(pa.array(keep))
 
-        def split_cold(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.invert(pc.is_in(
-                batch["band_hash"], value_set=hot_arr)))
-
+    # materialize both splits: the driver-expansion gate and the empty-
+    # side join guard (Ray 2.49's hash join raises ArrowInvalid on a
+    # fully EMPTY side, observed under extreme skew) both need counts
+    cold = bands.map_batches(
+        split_cold, batch_format="pyarrow").materialize()
+    n_cold = cold.count()
+    cold_empty = n_cold == 0
+    if hot_arr is not None:
         def split_hot(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch["band_hash"],
                                          value_set=hot_arr))
 
-        # materialize the cold split: Ray 2.49's hash join raises
-        # ArrowInvalid when one side is a fully EMPTY dataset (observed
-        # with extreme skew — every band row hot), so the split must be
-        # counted before the self-join can be planned
-        cold = bands.map_batches(
-            split_cold, batch_format="pyarrow").materialize()
-        hot = bands.map_batches(split_hot, batch_format="pyarrow")
-        cold_empty = cold.count() == 0
+        hot = bands.map_batches(
+            split_hot, batch_format="pyarrow").materialize()
+        n_hot = hot.count()
     else:
-        cold, hot = bands, None
-        cold_empty = False
+        hot, n_hot = None, 0
+
+    if n_cold + n_hot <= DRIVER_PAIR_EXPAND_LIMIT:
+        def _pull(ds: ray.data.Dataset) -> pa.Table:
+            batches = list(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+            return (pa.concat_tables(batches) if batches
+                    else pa.table({"band_hash": pa.array([], pa.int64()),
+                                   "file_id": pa.array([], pa.int64())}))
+
+        tabs = [_expand_cold_driver(_pull(cold))]
+        if hot is not None:
+            tabs.append(_expand_hot_driver(_pull(hot), window))
+        pairs = ray.data.from_arrow(pa.concat_tables(tabs))
+        if not distinct:
+            return pairs
+        return distinct_pairs(pairs)
 
     def finish_cold(batch: pa.Table) -> pa.Table:
         keep = pc.less(batch["a"], batch["b"])
@@ -325,6 +558,49 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     return distinct_pairs(pairs)
 
 
+#: A MATERIALIZED occurrence set at or below this row count is distinct-
+#: compressed with one vectorized np.unique on the driver instead of a
+#: distributed groupby: Ray's sort-shuffle aggregate costs seconds of
+#: fixed setup that dwarfs a sub-million-row reduce (measured 9 s for a
+#: 426k-row distinct at 32 CPUs vs ~0.2 s driver-side). Past the limit
+#: (est-surviving pairs scale with true duplicate density, not corpus
+#: size, but CAN exceed it) the distributed groupby runs; both paths
+#: produce identical rows.
+DRIVER_DISTINCT_LIMIT = 2_000_000
+
+
+def _driver_distinct_table(tbl: pa.Table) -> pa.Table:
+    """Vectorized exact distinct of occurrence rows (driver-side path)."""
+    names = tbl.column_names
+    a = np.asarray(tbl["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(tbl["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    n_occ = (np.asarray(tbl["n_occ"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+             if "n_occ" in names else np.ones(len(a), dtype=np.int64))
+    cp = np.asarray(tbl["capped"].to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    uniq, inv = np.unique(np.stack([a, b], axis=1), axis=0,
+                          return_inverse=True)
+    k = len(uniq)
+    n_bands = np.zeros(k, dtype=np.int64)
+    np.add.at(n_bands, inv, n_occ)
+    capped = np.zeros(k, dtype=bool)
+    np.logical_or.at(capped, inv, cp)
+    cols = {"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1]),
+            "n_bands": pa.array(n_bands), "capped": pa.array(capped)}
+    for c in names:
+        if c in ("a", "b", "n_occ", "capped"):
+            continue
+        v = np.asarray(tbl[c].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        acc = np.full(k, np.inf)
+        np.minimum.at(acc, inv, v)
+        cols[c] = pa.array(acc).cast(tbl.schema.field(c).type)
+    return pa.table(cols)
+
+
 def distinct_pairs(occurrences: ray.data.Dataset) -> ray.data.Dataset:
     """Pair occurrences -> one row per (a, b) with n_bands support,
     ``capped`` if any contributing bucket was capped, and the minimum of
@@ -332,10 +608,31 @@ def distinct_pairs(occurrences: ray.data.Dataset) -> ray.data.Dataset:
 
     Accepts either raw occurrence rows (n_bands = Count) or block-
     compressed rows carrying exact partial counts in ``n_occ``
-    (n_bands = Sum of partials — same value, far fewer rows)."""
+    (n_bands = Sum of partials — same value, far fewer rows). A
+    materialized input at or below ``DRIVER_DISTINCT_LIMIT`` rows is
+    compressed on the driver (see the constant's rationale)."""
     from ray.data.aggregate import Min, Sum
+    from ray.data.dataset import MaterializedDataset
 
     names = occurrences.schema().names
+    n = (occurrences.count()
+         if isinstance(occurrences, MaterializedDataset) else None)
+    if n is not None and n <= DRIVER_DISTINCT_LIMIT:
+        batches = list(occurrences.iter_batches(batch_format="pyarrow",
+                                                batch_size=None))
+        if not batches:
+            empty = {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64()),
+                     "n_bands": pa.array([], pa.int64()),
+                     "capped": pa.array([], pa.bool_())}
+            for c in names:
+                if c not in ("a", "b", "n_occ", "capped"):
+                    empty[c] = pa.array(
+                        [], occurrences.schema().base_schema.field(c).type)
+            return ray.data.from_arrow(pa.table(empty))
+        return ray.data.from_arrow(
+            _driver_distinct_table(pa.concat_tables(batches)))
+
     support = (Sum("n_occ", alias_name="n_bands") if "n_occ" in names
                else Count(alias_name="n_bands"))
     extra = [Min(c, alias_name=c) for c in names
@@ -460,23 +757,37 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if n_sigs is not None and n_sigs <= BROADCAST_SIG_LIMIT:
         import ray
 
-        tbl = pa.concat_tables(
-            [b for b in sigs.select_columns(
-                ["file_id", "minhash", "n_shingles"])
-             .iter_batches(batch_format="pyarrow", batch_size=None)])
-        ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
         # Ship only the LOW 32 BITS of each signature slot: slot equality
         # on low halves can only overestimate the match fraction (a false
         # equality needs a 2^-32 collision), so recall is untouched while
         # the broadcast AND the per-batch gather move half the bytes —
         # the estimate gather is the pipeline's bandwidth-bound stage
-        # (BASELINE.md scaling breakdown).
-        mat = (np.asarray(
-            tbl["minhash"].combine_chunks().flatten().to_numpy(
+        # (BASELINE.md scaling breakdown). The uint32 narrowing runs
+        # DISTRIBUTED (inside map_batches) so the driver pulls 4 B/slot,
+        # not 8, and does no per-slot conversion work itself.
+        def to_u32(batch: pa.Table) -> pa.Table:
+            m32 = (np.asarray(
+                batch["minhash"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                .view(np.uint64).astype(np.uint32))
+            return pa.table({
+                "file_id": batch["file_id"],
+                "sig32": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m32, pa.uint32()), cfg.num_perms),
+                "n_shingles": batch["n_shingles"],
+            })
+
+        tbl = pa.concat_tables(
+            [b for b in sigs.select_columns(
+                ["file_id", "minhash", "n_shingles"])
+             .map_batches(to_u32, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow", batch_size=None)])
+        ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        mat = np.asarray(
+            tbl["sig32"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False),
-            dtype=np.int64).view(np.uint64)
-            .astype(np.uint32).reshape(len(ids), cfg.num_perms))
+            dtype=np.uint32).reshape(len(ids), cfg.num_perms)
         nsh = np.asarray(tbl["n_shingles"].to_numpy(
             zero_copy_only=False), dtype=np.int64)
         order = np.argsort(ids)
@@ -594,13 +905,19 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     """
     nparts = num_partitions or join_parts(cfg)
     if sigs is not None:
-        pairs = estimate_filter(pairs, sigs, cfg, nparts)
+        # barrier after the prefilter: separates any est-filter join
+        # graph from what follows (aggregator reservations must not
+        # stack) and gives the distinct/content count gates a counted
+        # input
+        pairs = estimate_filter(pairs, sigs, cfg, nparts).materialize()
         if occurrences:
             pairs = distinct_pairs(pairs)
-        # ONE barrier after the prefilter: separates any est-filter join
-        # graph from the content joins (aggregator reservations must not
-        # stack) and gives the broadcast content fetch a counted input
-        pairs = pairs.materialize()
+        # restore map parallelism: the driver-exact distinct yields ONE
+        # block (and join/groupby outputs yield few) — split shuffle-free
+        # so the content attach + verify maps use every core; 4
+        # blocks/slot packs around per-pair cost skew
+        pairs = pairs.repartition(4 * _pool_max(cfg),
+                                  shuffle=False).materialize()
 
     slim = docs.select_columns(["file_id", "content"])
     both = _fetch_pair_contents(pairs, slim, nparts)
@@ -625,8 +942,13 @@ def verify_batch(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
 
 #: Broadcast pair contents when at most this many pairs survived the
 #: prefilter; beyond it (or when the pair count is unknown because the
-#: input is lazy), use hash joins.
-BROADCAST_PAIR_LIMIT = 100_000
+#: input is lazy), use hash joins. The real memory bound is
+#: min(corpus content, 2 x pairs x mean content bytes) — the broadcast
+#: table lives ONCE in the object store (per node on a cluster) and every
+#: attach task maps it zero-copy, so ~1M pairs x ~1 KiB docs ≈ low GBs;
+#: the measured alternative (two content hash joins) was 3-4x slower at
+#: 146k pairs because content rides the shuffle twice.
+BROADCAST_PAIR_LIMIT = 1_000_000
 
 
 def _fetch_pair_contents(pairs: ray.data.Dataset,

@@ -94,11 +94,16 @@ class Segmenter:
                 fids.append(fid)
                 poss.append(pos)
                 segs.append(seg)
-                hashes.append(self.digest(seg.encode("utf-8")).hex())
+                hashes.append(self.digest(seg.encode("utf-8")))
+        # RAW digest bytes internally (the reference stores bytea,
+        # lib/dbManager.cpp:212-233): segment_hash rides every store/
+        # recipe/reconstruct shuffle, and hex doubles its key bytes —
+        # queries hexify at the DuckDB-oracle boundary only
+        # (api.hexify_col).
         cols = {
             "file_id": pa.array(fids, pa.int64()),
             "pos": pa.array(poss, pa.int64()),
-            "segment_hash": pa.array(hashes, pa.string()),
+            "segment_hash": pa.array(hashes, pa.binary()),
         }
         if self.keep_data:
             cols["segment"] = pa.array(segs, pa.string())

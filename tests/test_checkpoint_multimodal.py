@@ -31,7 +31,8 @@ def ckpt_clusters(small_corpus_dir):
 
 def test_checkpoints_written(ckpt_clusters):
     manifests = ckpt.read_manifests(ROOT)
-    for stage in ("normalized", "groups", "signatures",
+    for stage in ("normalized", "sha_fid", "file_groups",
+                  "representatives", "signatures",
                   "candidate_pairs", "verified_pairs",
                   "edges", "clusters_auto"):
         assert stage in manifests, stage

@@ -89,4 +89,76 @@ def test_store_payload_consistent(core):
     store = core.store().to_pandas()
     for _, row in store.sample(20, random_state=7).iterrows():
         assert hashlib.sha256(
-            row.segment.encode()).hexdigest() == row.segment_hash
+            row.segment.encode()).digest() == row.segment_hash
+
+
+def test_delete_antijoin_matches_small_path(core):
+    """The large-delete anti-join recomputes the exact same store as the
+    broadcast small-delete path on a ~10%-of-corpus delete set."""
+    import pyarrow as pa
+    import ray.data
+
+    all_ids = sorted({r["file_id"] for r in core.docs.take_all()})
+    doom = all_ids[:: 10]                       # every 10th file
+    recipe = core.recipe()
+    small = {r["segment_hash"]: (r["segment_count"], r["segment"])
+             for r in exact.delete_files(recipe, set(doom)).take_all()}
+    doomed_ds = ray.data.from_arrow(
+        pa.table({"file_id": pa.array(doom, pa.int64())}))
+    big = {r["segment_hash"]: (r["segment_count"], r["segment"])
+           for r in exact.delete_files_antijoin(recipe,
+                                                doomed_ds).take_all()}
+    assert small == big and len(big) > 0
+    # empty doomed set degrades to the plain store
+    empty = ray.data.from_arrow(
+        pa.table({"file_id": pa.array([], pa.int64())}))
+    full = {r["segment_hash"]: r["segment_count"]
+            for r in exact.delete_files_antijoin(recipe, empty).take_all()}
+    base = {r["segment_hash"]: r["segment_count"]
+            for r in core.store().take_all()}
+    assert full == base
+
+
+def test_export_files_tree_roundtrip(small_corpus_dir, tmp_path):
+    """S5 byte-export: originals -> tree A; pipeline reconstruction ->
+    tree B; the trees must be byte-identical (reference
+    compareDirectories gate, lib/fileUtils.cpp:6-94). Also exercises the
+    on_exists policies (include/fileUtils.h:35-40)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from data_deduplication_service_ray.sources.writers import (
+        compare_directories, export_files)
+
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet")
+
+    def nonempty(batch):
+        return batch.filter(pc.greater(pc.utf8_length(batch["content"]),
+                                       0))
+
+    docs_ne = docs.map_batches(nonempty, batch_format="pyarrow")
+    dir_a = str(tmp_path / "orig")
+    dir_b = str(tmp_path / "rebuilt")
+    res = export_files(docs_ne, dir_a)
+    assert res["written"] > 0 and res["skipped"] == 0
+
+    # reconstruct through the dedup core, re-attach paths, export
+    paths = {r["file_id"]: r["path"]
+             for r in docs_ne.select_columns(
+                 ["file_id", "path"]).take_all()}
+    core2 = DedupCore(docs_ne, PipelineConfig(segment_size=64))
+
+    def attach_path(batch):
+        p = [paths[f] for f in batch["file_id"].to_pylist()]
+        return batch.append_column("path", pa.array(p, pa.string()))
+
+    rebuilt = core2.reconstructed().map_batches(attach_path,
+                                                batch_format="pyarrow")
+    export_files(rebuilt, dir_b)
+    assert compare_directories(dir_a, dir_b) == []
+
+    # on_exists policies
+    res2 = export_files(docs_ne, dir_a, on_exists="skip")
+    assert res2["written"] == 0 and res2["skipped"] == res["written"]
+    with pytest.raises(Exception):
+        export_files(docs_ne.limit(1), dir_a, on_exists="error")

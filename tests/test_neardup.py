@@ -385,3 +385,22 @@ def test_simhash_join_fallback_matches_broadcast(pipe, monkeypatch):
     joined = {(r["a"], r["b"], r["hamming"], r["capped"])
               for r in nd.simhash_pairs(sigs, CFG).take_all()}
     assert base == joined and len(base) > 0
+
+
+def test_driver_pair_expansion_matches_join(pipe, monkeypatch):
+    """The driver-gated vectorized bucket expansion and the distributed
+    Arrow self-join must emit identical pair multisets (cold) and
+    identical window edges (hot)."""
+    from collections import Counter
+
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    bands = nd.band_rows(pipe.signatures(), CFG)
+    fast = nd.candidate_pairs(bands, CFG, distinct=False)
+    c_fast = Counter((r["a"], r["b"], r["capped"])
+                     for r in fast.take_all())
+    monkeypatch.setattr(nd, "DRIVER_PAIR_EXPAND_LIMIT", 0)
+    slow = nd.candidate_pairs(bands, CFG, distinct=False)
+    c_slow = Counter((r["a"], r["b"], r["capped"])
+                     for r in slow.take_all())
+    assert c_fast == c_slow and len(c_fast) > 0

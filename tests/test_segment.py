@@ -68,8 +68,10 @@ def test_positions_one_based_and_hash_matches_sha256():
     out = seg_table(["hello world " * 10])
     assert out["pos"].to_pylist()[0] == 1
     seg0 = out["segment"].to_pylist()[0]
+    # internal representation is RAW digest bytes (hex only at the
+    # oracle boundary, api.hexify_col)
     assert out["segment_hash"].to_pylist()[0] == \
-        hashlib.sha256(seg0.encode()).hexdigest()
+        hashlib.sha256(seg0.encode()).digest()
 
 
 def test_unicode_segments_split_on_chars():
@@ -85,7 +87,7 @@ def test_unicode_segments_split_on_chars():
 def test_hash_registry_variants(hash_name, fn):
     out = seg_table(["payload"], CFG.with_(segment_hash=hash_name))
     assert out["segment_hash"].to_pylist()[0] == \
-        fn(b"payload").hexdigest()
+        fn(b"payload").digest()
 
 
 def test_cdc_roundtrip_and_determinism():
