@@ -162,6 +162,71 @@ def q_segment_store_cdc(sf_dir: str):
     return hexify_col(exact.segment_store(recipe))
 
 
+def q_dataset_sizes(sf_dir: str):
+    """Per-dataset size rollup (A5 analog: getTotalSchemaSizes/getDataD,
+    lib/dbCommon.cpp:270-283, lib/FileService.cpp:77-108): row count and
+    total characters for the logical corpus, the recipe, and the
+    deduplicated store — the logical-vs-stored ratio is the reference's
+    headline dedup metric."""
+    from ray.data.aggregate import Count, Sum
+
+    core = _core(sf_dir)
+
+    def one(name: str, ds, chars_col: str) -> ray.data.Dataset:
+        def width(batch: pa.Table) -> pa.Table:
+            return pa.table({"n_chars": pc.utf8_length(batch[chars_col])})
+
+        agg = (ds.map_batches(width, batch_format="pyarrow")
+               .aggregate(Count(alias_name="n_rows"),
+                          Sum("n_chars", alias_name="total_chars")))
+        return ray.data.from_arrow(pa.table({
+            "dataset": pa.array([name], pa.string()),
+            "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+            "total_chars": pa.array([int(agg["total_chars"] or 0)],
+                                    pa.int64())}))
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    out = one("documents", docs, "content")
+    out = out.union(one("file_recipe", core.recipe(), "segment"))
+    out = out.union(one("segment_store", core.store(), "segment"))
+    return out
+
+
+def q_ingest_latency(sf_dir: str):
+    """Per-file ingest wall time + segment count (the reference's
+    characteristics query reports per-file load ms,
+    lib/dbCommon.cpp:221). Wall-clock values are not SQL-expressible —
+    rows-only driver check; pytest gates schema and positivity."""
+    import time as _time
+
+    from data_deduplication_service_ray.config import HASH_REGISTRY
+    from data_deduplication_service_ray.stages.segment import (
+        _fixed_segments)
+
+    digest, _ = HASH_REGISTRY[CFG.segment_hash]
+    size = CFG.segment_size
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def timed(batch: pa.Table) -> pa.Table:
+        fids, us, nseg = [], [], []
+        for fid, text in zip(batch["file_id"].to_pylist(),
+                             batch["content"].to_pylist()):
+            if not text:
+                continue
+            t0 = _time.perf_counter()
+            parts = _fixed_segments(text, size)
+            for s in parts:
+                digest(s.encode("utf-8"))
+            fids.append(fid)
+            us.append(int((_time.perf_counter() - t0) * 1e6))
+            nseg.append(len(parts))
+        return pa.table({"file_id": pa.array(fids, pa.int64()),
+                         "ingest_us": pa.array(us, pa.int64()),
+                         "n_segments": pa.array(nseg, pa.int64())})
+
+    return docs.map_batches(timed, batch_format="pyarrow")
+
+
 def q_dir_listing(sf_dir: str):
     """Prefix listing (J3 analog: LIKE 'prefix%' over the catalog)."""
     docs = read_documents(sf_dir, columns=["doc_id", "source", "lang"])
@@ -452,6 +517,8 @@ QUERIES = {
     "global_coefficient": q_global_coefficient,
     "delete_refcounts": q_delete_refcounts,
     "dir_listing": q_dir_listing,
+    "dataset_sizes": q_dataset_sizes,
+    "ingest_latency": q_ingest_latency,
     "top_segments": q_top_segments,
     "segment_store_md5": q_segment_store_md5,
     "segment_store_s16": q_segment_store_s16,
@@ -576,6 +643,27 @@ ORACLE_SQL = {
         SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
         FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
         WHERE length(a.text) > 0 AND position(a.text IN b.text) > 0
+    """,
+    "dataset_sizes": _SEGS_CTE + """
+        , store AS (
+          SELECT min(segment) AS segment FROM segs
+          GROUP BY sha256(segment)
+        )
+        SELECT 'documents' AS dataset,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+                   AS total_chars
+        FROM documents
+        UNION ALL
+        SELECT 'file_recipe',
+               CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(segment)), 0) AS BIGINT)
+        FROM segs
+        UNION ALL
+        SELECT 'segment_store',
+               CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(length(segment)), 0) AS BIGINT)
+        FROM store
     """,
     "ngram_jaccard": """
         WITH g AS (

@@ -443,7 +443,12 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
             tabs.append(_expand_hot_driver(
                 pa.table({"band_hash": pa.array(bhs[hot_rows]),
                           "file_id": pa.array(fids[hot_rows])}), window))
-        pairs = ray.data.from_arrow(pa.concat_tables(tabs))
+        pairs_tbl = pa.concat_tables(tabs)
+        if distinct and pairs_tbl.num_rows <= DRIVER_DISTINCT_LIMIT:
+            # fuse the distinct while the pairs are still in driver
+            # memory — no object-store round trip
+            return ray.data.from_arrow(_driver_distinct_table(pairs_tbl))
+        pairs = ray.data.from_arrow(pairs_tbl)
         return pairs if not distinct else distinct_pairs(pairs)
 
     hot_keys = detect_hot_keys(bands, cap)

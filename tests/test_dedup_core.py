@@ -162,3 +162,21 @@ def test_export_files_tree_roundtrip(small_corpus_dir, tmp_path):
     assert res2["written"] == 0 and res2["skipped"] == res["written"]
     with pytest.raises(Exception):
         export_files(docs_ne.limit(1), dir_a, on_exists="error")
+
+
+def test_ingest_latency_matches_recipe():
+    """ingest_latency rows: one per non-empty file, n_segments equals the
+    recipe's per-file segment count, wall micros non-negative."""
+    from collections import Counter
+
+    from data_deduplication_service_ray import api
+
+    sf = "/root/testdata/sf0.001"
+    rows = api.q_ingest_latency(sf).take_all()
+    assert rows
+    assert all(r["ingest_us"] >= 0 and r["n_segments"] >= 1 for r in rows)
+    recipe_counts = Counter(
+        r["file_id"] for r in api._core(sf).recipe(
+            keep_data=False).take_all())
+    assert {r["file_id"]: r["n_segments"] for r in rows} == dict(
+        recipe_counts)
