@@ -21,14 +21,38 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 
+#: A partial-aggregate table at or below this many rows finalizes in ONE
+#: remote task (a single Arrow C++ group_by) instead of a distributed
+#: sort-shuffle aggregate: Ray's aggregate operator pays seconds of
+#: fixed setup regardless of input size, which dominates every
+#: small-corpus query; past the limit the distributed path runs
+#: unchanged. Same discipline as the neardup driver gates (parity is
+#: exact — the single task computes the identical merge).
+SINGLE_TASK_FINALIZE_LIMIT = 2_000_000
+
+
+def finalize_small(partials: ray.data.Dataset, final_fn,
+                   build_distributed) -> ray.data.Dataset:
+    """Route partial aggregates to a one-task Arrow finalize when small,
+    else to the distributed implementation. ``final_fn`` must be a pure
+    Arrow-table function producing the same rows as the distributed
+    path."""
+    p = partials.materialize()
+    if p.count() <= SINGLE_TASK_FINALIZE_LIMIT:
+        return p.repartition(1, shuffle=False).map_batches(
+            final_fn, batch_format="pyarrow", batch_size=None)
+    return build_distributed(p)
+
+
 def segment_store(recipe: ray.data.Dataset) -> ray.data.Dataset:
     """(file_id,pos,segment_hash,segment) -> (segment_hash, segment, count).
 
     Two-level aggregation: a vectorized per-batch partial count (Arrow
-    ``Table.group_by``) shrinks the shuffle input, then a global
-    ``groupby(segment_hash)`` sums partials — the Ray-native form of the
-    reference's temp-table-then-upsert trick
-    (doc/implementationDetails.md:176-204).
+    ``Table.group_by``) shrinks the shuffle input, then a global merge —
+    the Ray-native form of the reference's temp-table-then-upsert trick
+    (doc/implementationDetails.md:176-204). The merge runs as a single
+    Arrow task for small partial tables (``finalize_small``) and as a
+    ``groupby(segment_hash)`` shuffle past the gate.
     """
     has_data = "segment" in recipe.schema().names
     carry = ["segment"] if has_data else []
@@ -41,10 +65,23 @@ def segment_store(recipe: ray.data.Dataset) -> ray.data.Dataset:
             [ren.get(n, n) for n in agg.column_names])
 
     partials = recipe.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum("partial_count", alias_name="segment_count")]
-    if has_data:
-        aggs.append(Min("segment", alias_name="segment"))
-    return partials.groupby("segment_hash").aggregate(*aggs)
+
+    def final(t: pa.Table) -> pa.Table:
+        spec = [("partial_count", "sum")] + [("segment", "min")
+                                             for _ in carry]
+        agg = t.group_by("segment_hash").aggregate(spec)
+        ren = {"partial_count_sum": "segment_count",
+               "segment_min": "segment"}
+        return agg.rename_columns(
+            [ren.get(n, n) for n in agg.column_names])
+
+    def dist(p: ray.data.Dataset) -> ray.data.Dataset:
+        aggs = [Sum("partial_count", alias_name="segment_count")]
+        if has_data:
+            aggs.append(Min("segment", alias_name="segment"))
+        return p.groupby("segment_hash").aggregate(*aggs)
+
+    return finalize_small(partials, final, dist)
 
 
 def file_dedup(normalized: ray.data.Dataset) -> ray.data.Dataset:
@@ -53,12 +90,31 @@ def file_dedup(normalized: ray.data.Dataset) -> ray.data.Dataset:
     Keep-first with a deterministic winner (min file_id) — the analog of
     the segment-store PK keeping one payload per hash
     (lib/dbManager.cpp:551). Returns
-    (content_sha256, file_id=representative, dup_count).
+    (content_sha256, file_id=representative, dup_count). Only the slim
+    (sha, file_id) columns enter the aggregation (content stays in its
+    scan blocks); per-block Arrow partials then a gated global merge.
     """
-    return (normalized
-            .groupby("content_sha256")
-            .aggregate(Min("file_id", alias_name="file_id"),
-                       Count(alias_name="dup_count")))
+    slim = normalized.select_columns(["content_sha256", "file_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("content_sha256").aggregate(
+            [("file_id", "min"), ("file_id", "count")])
+        return agg.rename_columns(["content_sha256", "min_fid", "cnt"])
+
+    partials = slim.map_batches(partial, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        agg = t.group_by("content_sha256").aggregate(
+            [("min_fid", "min"), ("cnt", "sum")])
+        return agg.rename_columns(
+            ["content_sha256", "file_id", "dup_count"])
+
+    def dist(p: ray.data.Dataset) -> ray.data.Dataset:
+        return (p.groupby("content_sha256")
+                .aggregate(Min("min_fid", alias_name="file_id"),
+                           Sum("cnt", alias_name="dup_count")))
+
+    return finalize_small(partials, final, dist)
 
 
 def rep_groups(normalized: ray.data.Dataset) -> ray.data.Dataset:

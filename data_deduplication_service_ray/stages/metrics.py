@@ -38,16 +38,34 @@ def file_report(recipe: ray.data.Dataset) -> ray.data.Dataset:
             "seg_chars": lengths.cast(pa.int64()),
         })
 
-    per_hash = (recipe.map_batches(per_batch_distinct, batch_format="pyarrow")
-                .groupby(["file_id", "segment_hash"])
-                .aggregate(Sum("n", alias_name="n"),
-                           # partials of one (file,hash) all carry the same
-                           # length; Min collapses them to a single count
-                           Min("seg_chars", alias_name="seg_chars")))
-    report = (per_hash.groupby("file_id")
-              .aggregate(Sum("n", alias_name="total_segments"),
-                         Count(alias_name="unique_segments"),
-                         Sum("seg_chars", alias_name="stored_chars")))
+    from data_deduplication_service_ray.stages.exact import finalize_small
+
+    partials = recipe.map_batches(per_batch_distinct,
+                                  batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        # both groupby levels in one Arrow task (see finalize_small)
+        per_hash = t.group_by(["file_id", "segment_hash"]).aggregate(
+            [("n", "sum"), ("seg_chars", "min")])
+        rep = per_hash.group_by("file_id").aggregate(
+            [("n_sum", "sum"), ("segment_hash", "count"),
+             ("seg_chars_min", "sum")])
+        return rep.rename_columns(
+            ["file_id", "total_segments", "unique_segments",
+             "stored_chars"])
+
+    def dist(p: ray.data.Dataset) -> ray.data.Dataset:
+        per_hash = (p.groupby(["file_id", "segment_hash"])
+                    .aggregate(Sum("n", alias_name="n"),
+                               # partials of one (file,hash) all carry
+                               # the same length; Min collapses them
+                               Min("seg_chars", alias_name="seg_chars")))
+        return (per_hash.groupby("file_id")
+                .aggregate(Sum("n", alias_name="total_segments"),
+                           Count(alias_name="unique_segments"),
+                           Sum("seg_chars", alias_name="stored_chars")))
+
+    report = finalize_small(partials, final, dist)
 
     def pct(batch: pa.Table) -> pa.Table:
         u = batch["unique_segments"].cast(pa.float64())

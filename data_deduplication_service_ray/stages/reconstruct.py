@@ -15,6 +15,7 @@ test/testUtils.h:164-202).
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 from data_deduplication_service_ray.config import PipelineConfig
@@ -33,9 +34,34 @@ def reconstruct(recipe: ray.data.Dataset, store: ray.data.Dataset,
     500-doc smoke corpus).
     """
     from data_deduplication_service_ray.config import join_parts
+    from data_deduplication_service_ray.stages.exact import (
+        SINGLE_TASK_FINALIZE_LIMIT)
+
     nparts = join_parts(cfg or PipelineConfig())
-    recipe_slim = recipe.select_columns(["file_id", "pos", "segment_hash"])
+    recipe_slim = recipe.select_columns(
+        ["file_id", "pos", "segment_hash"]).materialize()
     store_slim = store.select_columns(["segment_hash", "segment"])
+
+    if recipe_slim.count() <= SINGLE_TASK_FINALIZE_LIMIT:
+        # small path: ONE Arrow C++ join + sorted per-file assembly on
+        # the driver — the distributed join + grouped aggregate pay
+        # seconds of fixed cost that dwarf a small corpus (same gate
+        # discipline as exact.finalize_small)
+        import pandas as pd
+
+        rt = pa.concat_tables(recipe_slim.iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        st = pa.concat_tables(store_slim.iter_batches(
+            batch_format="pyarrow", batch_size=None))
+        joined = rt.join(st, keys="segment_hash", join_type="inner")
+        df = joined.sort_by([("file_id", "ascending"),
+                             ("pos", "ascending")]).to_pandas()
+        content: pd.Series = df.groupby("file_id", sort=True)[
+            "segment"].agg("".join)
+        return ray.data.from_arrow(pa.table({
+            "file_id": pa.array(content.index.to_numpy(), pa.int64()),
+            "content": pa.array(content.to_numpy(), pa.string())}))
+
     joined = recipe_slim.join(store_slim, join_type="inner",
                               num_partitions=nparts, on=("segment_hash",))
     return joined.groupby("file_id").aggregate(OrderedConcat())
