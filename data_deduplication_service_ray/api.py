@@ -488,6 +488,17 @@ def q_sessionize(sf_dir: str):
                               columns=["user_id", "ts", "event_id"]))
 
 
+def q_sessionize_sorted(sf_dir: str):
+    """Scale-path sessionization (sort + vectorized block scan +
+    session-level stitch) — same oracle as ``sessionize``, so the two
+    implementations are independently value-checked."""
+    from data_deduplication_service_ray.stages import events as ev
+
+    return ev.sessionize_sorted(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "ts", "event_id"]))
+
+
 def q_event_rollup(sf_dir: str):
     """Per-event-type totals with exact-integer money sums."""
     from data_deduplication_service_ray.stages import events as ev
@@ -542,6 +553,7 @@ QUERIES = {
     "image_features": q_image_features,
     "windowed_events": q_windowed_events,
     "sessionize": q_sessionize,
+    "sessionize_sorted": q_sessionize_sorted,
     "event_rollup": q_event_rollup,
 }
 
@@ -810,6 +822,27 @@ def _text_oracles() -> dict[str, str]:
         FROM c GROUP BY 1, 2
         """,
         "sessionize": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+                     AS session_idx
+          FROM o
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM s GROUP BY 1, 2
+        """,
+        "sessionize_sorted": """
         WITH o AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN lag(ts) OVER w IS NULL

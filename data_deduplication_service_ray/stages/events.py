@@ -96,6 +96,101 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30
                                               batch_format="pandas")
 
 
+#: Stitch partial sessions on the driver below this count. Partial
+#: sessions ≈ true sessions + one potential split per block boundary, so
+#: the stitch input is session-sized, not event-sized.
+SESSION_STITCH_LIMIT = 5_000_000
+
+
+def sessionize_sorted(events: ray.data.Dataset, gap_minutes: int = 30
+                      ) -> ray.data.Dataset:
+    """Scale-path sessionization: ONE global sort by (user_id, ts,
+    event_id), a vectorized per-block scan, then a session-level stitch.
+
+    The per-user ``map_groups`` variant (``sessionize``) pays Python per
+    group — fine at realistic user cardinality, hopeless at 10^8 users.
+    Here the only per-event work is the range-partitioned sort plus one
+    numpy scan per sorted block. Exactness: a user's events may span
+    adjacent sorted blocks, so block-local sessions are exact EXCEPT
+    that a session can be split at a block boundary; merging is the same
+    gap rule applied to the (far smaller) partial-session list ordered
+    by (user, start_ts) — sessionization is associative under
+    concatenation of ordered runs. The stitch runs on the driver below
+    ``SESSION_STITCH_LIMIT`` partial sessions; past it, fall back to
+    ``sessionize`` (or recurse block-wise).
+
+    Output schema and values are identical to ``sessionize`` — both are
+    checked against the same DuckDB oracle.
+    """
+    gap_us = float(gap_minutes * 60 * 1_000_000)
+    slim = events.select_columns(["user_id", "ts", "event_id"])
+    sorted_ds = slim.sort(["user_id", "ts", "event_id"])
+
+    def block_sessions(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "start_ts": pa.array([], batch.schema.field("ts").type),
+                "end_ts": pa.array([], batch.schema.field("ts").type)})
+        u = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)  # datetime64[*]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            gaps = np.diff(ts) / np.timedelta64(1, "us")
+            new[1:] = (u[1:] != u[:-1]) | (gaps > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        n = np.diff(np.append(starts, len(u)))
+        return pa.table({
+            "user_id": pa.array(u[starts]),
+            "n_events": pa.array(n.astype(np.int64)),
+            "start_ts": pa.array(ts[starts]),
+            "end_ts": pa.array(ts[ends])})
+
+    partials = sorted_ds.map_batches(block_sessions,
+                                     batch_format="pyarrow",
+                                     batch_size=None).materialize()
+    if partials.count() > SESSION_STITCH_LIMIT:
+        return sessionize(events, gap_minutes)
+
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow",
+                                                 batch_size=None))
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(tbl.append_column(
+            "session_idx", pa.array([], pa.int64())))
+    u = np.asarray(tbl["user_id"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    st = tbl["start_ts"].to_numpy(zero_copy_only=False)
+    en = tbl["end_ts"].to_numpy(zero_copy_only=False)
+    n = np.asarray(tbl["n_events"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    order = np.lexsort((st, u))
+    u, st, en, n = u[order], st[order], en[order], n[order]
+    new = np.ones(len(u), dtype=bool)
+    if len(u) > 1:
+        gaps = (st[1:] - en[:-1]) / np.timedelta64(1, "us")
+        new[1:] = (u[1:] != u[:-1]) | (gaps > gap_us)
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(u)) - 1
+    m_n = np.add.reduceat(n, starts)
+    m_u = u[starts]
+    # per-user 0-based session ordinal over the merged, start-ordered runs
+    user_first = np.ones(len(m_u), dtype=bool)
+    user_first[1:] = m_u[1:] != m_u[:-1]
+    run_start = np.flatnonzero(user_first)
+    idx = np.arange(len(m_u)) - np.repeat(run_start,
+                                          np.diff(np.append(run_start,
+                                                            len(m_u))))
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array(m_u),
+        "session_idx": pa.array(idx.astype(np.int64)),
+        "n_events": pa.array(m_n.astype(np.int64)),
+        "start_ts": pa.array(st[starts]),
+        "end_ts": pa.array(en[ends])}))
+
+
 def event_type_rollup(events: ray.data.Dataset) -> ray.data.Dataset:
     """Per-type totals: (event_type, n_events, sum_value, min_ts, max_ts)."""
 
