@@ -212,6 +212,64 @@ def ivf_search(assigned: ray.data.Dataset, centroids: np.ndarray,
                      emb_col=emb_col)
 
 
+def ivf_build(embeddings: ray.data.Dataset, index_dir: str,
+              n_centroids: int = 16, seed: int = 42,
+              emb_col: str = "embedding") -> np.ndarray:
+    """Build an on-disk IVF index: train centroids, assign, and write the
+    table PARTITIONED by ``centroid_id`` (hive layout + sealed manifest).
+
+    At 100 TB the partition column IS the pruning mechanism: a query
+    with ``nprobe`` probes reads only those partition directories —
+    nothing else leaves storage (``ivf_search_pruned``). Returns the
+    centroid matrix (also persisted as ``_centroids.npy`` — the underscore keeps parquet readers from walking it)."""
+    import os
+
+    from data_deduplication_service_ray.sources.writers import (
+        write_dataset)
+
+    cents = train_centroids(embeddings, n_centroids=n_centroids,
+                            seed=seed, emb_col=emb_col)
+    assigned = assign_centroids(embeddings, cents, emb_col=emb_col)
+    write_dataset(assigned, index_dir, partition_col="centroid_id")
+    np.save(os.path.join(index_dir, "_centroids.npy"), cents)
+    return cents
+
+
+def ivf_search_pruned(index_dir: str, query_ids: list[int],
+                      k: int = 10, nprobe: int = 4,
+                      id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> ray.data.Dataset:
+    """ANN top-k over an ``ivf_build`` index, pruning AT THE READ: only
+    the ``nprobe`` nearest centroid partitions' files are opened. The
+    query rows live in their own centroid's partition (a query's top
+    probe is its own centroid), so they are always present in the pruned
+    read. Same results as ``ivf_search`` at equal (centroids, nprobe)."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    # one tiny read to fetch the query vectors: probe every partition the
+    # queries could live in — cheap because the searched set below is
+    # what matters; queries are few
+    full = ray.data.read_parquet(index_dir)
+    qrows = _take_rows_by_id(full, query_ids, id_col)
+    qrows.sort(key=lambda r: r[id_col])
+    qmat = _normalize(np.array([r[emb_col] for r in qrows],
+                               dtype=np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probes for c in row})
+    # Ray's read_parquet wants FILES when given a list — expand each
+    # probe partition directory (only these files are ever opened)
+    paths = []
+    for c in probe_set:
+        d = os.path.join(index_dir, f"centroid_id={c}")
+        paths.extend(sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")))
+    pruned = ray.data.read_parquet(paths)
+    return knn_brute(pruned, query_ids, k=k, id_col=id_col,
+                     emb_col=emb_col)
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup via random-hyperplane LSH
 # ---------------------------------------------------------------------------

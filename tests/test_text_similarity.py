@@ -172,3 +172,29 @@ def test_cosine_pairs_brute_matches_numpy(clustered_vectors):
     # only boundary discrepancies
     sym = truth ^ got
     assert all(abs(sims[a, b] - tau) < 1e-9 for a, b in sym)
+
+
+def test_ivf_pruned_read_matches_filter_path(tmp_path):
+    """ivf_build + ivf_search_pruned (partition-pruned READ) must return
+    exactly what ivf_search (post-read filter) returns at the same
+    centroids/nprobe, and only the probe partitions may be opened."""
+    import os
+
+    from data_deduplication_service_ray.sources.readers import (
+        read_embeddings)
+
+    emb = read_embeddings("/root/testdata/sf0.001")
+    idx = str(tmp_path / "ivf")
+    cents = sim.ivf_build(emb, idx, n_centroids=8)
+    qids = [0, 1, 2]
+    pruned = {(r["query_id"], r["rank"]): r["vec_id"]
+              for r in sim.ivf_search_pruned(idx, qids, k=5,
+                                             nprobe=2).take_all()}
+    assigned = sim.assign_centroids(emb, cents).materialize()
+    base = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in sim.ivf_search(assigned, cents, qids, k=5,
+                                    nprobe=2).take_all()}
+    assert pruned == base and len(pruned) > 0
+    # the index is hive-partitioned: one dir per centroid
+    parts = [d for d in os.listdir(idx) if d.startswith("centroid_id=")]
+    assert len(parts) >= 2
