@@ -112,8 +112,8 @@ def _headline_only(sf_dir: str, num_cpus: int) -> dict:
             "stages": stages, "num_cpus": num_cpus}
 
 
-def _cpu_scaling_ceiling() -> float | None:
-    """Measure this box's pure-CPU 8→32-process scaling ceiling.
+def _cpu_scaling_ceiling(lo: int = 8, hi: int = 32) -> float | None:
+    """Measure this box's pure-CPU lo→hi-process scaling ceiling.
 
     Cloud hosts throttle per-core frequency under full load, so even a
     perfectly parallel job cannot reach 4x throughput from 8→32 cores on
@@ -132,14 +132,14 @@ def _cpu_scaling_ceiling() -> float | None:
 
     rates = {}
     try:
-        for n in (8, 32):
+        for n in (lo, hi):
             q = mp.Queue()
             ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
             [p.start() for p in ps]
             [p.join() for p in ps]
             avg = sum(q.get() for _ in range(n)) / n
             rates[n] = n / avg
-        return round((rates[32] / rates[8]) / 4.0, 3)
+        return round((rates[hi] / rates[lo]) / (hi / lo), 3)
     except Exception:
         return None
 
@@ -161,6 +161,15 @@ def main() -> None:
 
         n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", "320000"))
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+        # The N and 4N parallelism levels. On this shared host the
+        # default 8/32 pair is asymmetrically biased: co-tenant load
+        # (steady 5-9 cores) contends directly with a 32-CPU run while
+        # the 8-CPU run keeps 24 idle cores as a buffer — deflating the
+        # ratio for reasons unrelated to the pipeline. 4,16 leaves
+        # headroom in BOTH runs and isolates the pipeline's own scaling;
+        # BASELINE.md reports both pairs.
+        lo, hi = (int(x) for x in os.environ.get(
+            "GRAFT_SCALING_CPUS", "8,32").split(","))
         corpus_dir = corpus_path(n_rows)
         scale_input = f"{corpus_dir}/corpus.parquet"
         # This host carries co-tenant load that swings identical runs by
@@ -169,9 +178,9 @@ def main() -> None:
         # configs over `reps` rounds and take the BEST run per config
         # (closest to the unloaded machine); every sample is disclosed
         # in the output.
-        samples: dict[int, list[dict]] = {8: [], 32: []}
+        samples: dict[int, list[dict]] = {lo: [], hi: []}
         for _ in range(reps):
-            for cpus in (8, 32):
+            for cpus in (lo, hi):
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--headline-subprocess", str(cpus)],
@@ -181,27 +190,28 @@ def main() -> None:
                     json.loads(out.stdout.strip().splitlines()[-1]))
         results = {c: min(s, key=lambda d: d["sec"])
                    for c, s in samples.items()}
-        thr8 = results[8]["files_per_sec"]
-        thr32 = results[32]["files_per_sec"]
-        eff = (thr32 / thr8) / 4.0
-        ceiling = _cpu_scaling_ceiling()
+        thr8 = results[lo]["files_per_sec"]
+        thr32 = results[hi]["files_per_sec"]
+        eff = (thr32 / thr8) / (hi / lo)
+        ceiling = _cpu_scaling_ceiling(lo, hi)
         stage_eff = {
-            k: round((results[8]["stages"][k]
-                      / max(results[32]["stages"][k], 1e-9)) / 4.0, 3)
-            for k in results[8].get("stages", {})}
+            k: round((results[lo]["stages"][k]
+                      / max(results[hi]["stages"][k], 1e-9)) / 4.0, 3)
+            for k in results[lo].get("stages", {})}
         print(json.dumps({
-            "metric": "neardup scaling efficiency 8→32 cpus",
+            "metric": f"neardup scaling efficiency {lo}→{hi} cpus",
             "value": round(eff, 3), "unit": "efficiency",
             "input": scale_input, "n_rows": n_rows,
             "sf": SF_DIR, "throughput_8cpu": thr8,
             "throughput_32cpu": thr32,
-            "sec_8cpu": results[8]["sec"], "sec_32cpu": results[32]["sec"],
-            "samples_sec_8cpu": [s["sec"] for s in samples[8]],
-            "samples_sec_32cpu": [s["sec"] for s in samples[32]],
-            "stages_8cpu": results[8].get("stages"),
-            "stages_32cpu": results[32].get("stages"),
+            "cpus": [lo, hi],
+            "sec_8cpu": results[lo]["sec"], "sec_32cpu": results[hi]["sec"],
+            "samples_sec_8cpu": [s["sec"] for s in samples[lo]],
+            "samples_sec_32cpu": [s["sec"] for s in samples[hi]],
+            "stages_8cpu": results[lo].get("stages"),
+            "stages_32cpu": results[hi].get("stages"),
             "stage_efficiency": stage_eff,
-            "n_files": results[32]["n_files"],
+            "n_files": results[hi]["n_files"],
             "hw_ceiling_efficiency": ceiling,
             "efficiency_vs_hw_ceiling": round(eff / ceiling, 3)
             if ceiling else None}))

@@ -71,9 +71,30 @@ class SignatureStage:
         self.cfg = cfg
         self.seeds = mh.perm_seeds(cfg.num_perms, cfg.seed)
 
+    def _shingle_sets(self, batch: pa.Table) -> list[np.ndarray]:
+        if self.cfg.shingle_mode != "char":
+            return [shingle_array(t, self.cfg)
+                    for t in batch["content"].to_pylist()]
+        # char mode shingles BYTES — slice the Arrow value buffer
+        # directly (no Python str materialization, no re-encode; the
+        # utf-8 bytes in the buffer are exactly what
+        # shingle_array(text).encode() would produce)
+        from data_deduplication_service_ray.functions.hashing import (
+            kgram_hashes)
+
+        arr = batch["content"].combine_chunks()
+        off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+        if data_buf is None:          # all-empty column
+            return [np.empty(0, dtype=np.uint64)] * len(arr)
+        offs = np.frombuffer(off_buf, dtype=np.int32)[
+            arr.offset:arr.offset + len(arr) + 1]
+        mv = memoryview(data_buf)
+        k = self.cfg.shingle_k
+        return [kgram_hashes(mv[offs[i]:offs[i + 1]], k)
+                for i in range(len(arr))]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["content"].to_pylist()
-        shingle_sets = [shingle_array(t, self.cfg) for t in texts]
+        shingle_sets = self._shingle_sets(batch)
         if self.cfg.minhash_scheme == "oph":
             sigs = mh.oph_signatures_batch(shingle_sets,
                                            self.cfg.num_perms,

@@ -191,3 +191,35 @@ def test_cli_runner_end_to_end(small_corpus_dir):
     b = ray.data.read_parquet(os.path.join(out2, "clusters")).take_all()
     key = lambda r: r["file_id"]
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_audio_plumbing_deterministic():
+    """Audio path: stubbed decode (deterministic), REAL feature math
+    (rms/zcr/spectral centroid via numpy fft); decoder='real' raises a
+    clear NotImplementedError (no codec libs in this container)."""
+    import numpy as np
+    import pyarrow as pa
+
+    clips = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["audio", "audio"], pa.string()),
+        "payload": pa.array([b"clip-one", b"clip-two"], pa.binary()),
+        "sample_rate": pa.array([16000, 8000], pa.int64()),
+        "n_samples": pa.array([1600, 800], pa.int64()),
+    })
+    media = ray.data.from_arrow(clips)
+    dec = mm.decode_audio(media)
+    feats = {r["media_id"]: r for r in mm.audio_features(dec).take_all()}
+    assert set(feats) == {1, 2}
+    assert abs(feats[1]["duration_sec"] - 0.1) < 1e-9
+    assert 0.0 < feats[1]["rms"] < 1.0
+    assert 0.0 <= feats[1]["zcr"] <= 1.0
+    assert feats[1]["spectral_centroid"] > 0.0
+    # deterministic across runs
+    again = {r["media_id"]: r for r in mm.audio_features(
+        mm.decode_audio(media)).take_all()}
+    for k in feats:
+        for c in ("rms", "zcr", "spectral_centroid"):
+            assert feats[k][c] == again[k][c]
+    with pytest.raises((NotImplementedError, Exception)):
+        mm.decode_audio(media, decoder="real").materialize()
