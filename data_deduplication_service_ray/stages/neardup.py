@@ -432,9 +432,36 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     # costs dominate at this size. Past the gate, the fully distributed
     # path below (two-phase hot detection, bitmap semi-join reduction,
     # Arrow C++ self-join) computes the identical pair multiset.
-    if bands.count() <= DRIVER_PAIR_EXPAND_LIMIT:
-        batches = list(bands.iter_batches(batch_format="pyarrow",
-                                          batch_size=None))
+    n_band_rows = bands.count()
+    if n_band_rows <= DRIVER_PAIR_EXPAND_LIMIT:
+        # DISTRIBUTED singleton pre-filter before the serial pull: the
+        # "seen >= 2" bitmap drops the singleton majority in a parallel
+        # scan, so the driver pulls/sorts only potentially-pairing rows
+        # (~20-30% of the band table). Exactness: every row of a key
+        # with global count >= 2 survives (no false negatives), so the
+        # bucket-run sizes computed below are exact for surviving keys;
+        # bitmap-collision singletons form size-1 runs that the
+        # size >= 2 cut drops anyway.
+        bitmap, m = _multi_occurrence_bitmap(bands, n_band_rows)
+        bm_handle = _ray.put(bitmap)
+        pre_mask = np.uint64(m - 1)
+
+        def keep_pairable(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            bm = _ray.get(bm_handle)
+            h = np.asarray(
+                batch["band_hash"].to_numpy(zero_copy_only=False),
+                dtype=np.int64).view(np.uint64)
+            slots = (h & pre_mask).astype(np.int64)
+            keep = (bm[slots >> 3]
+                    & (1 << (slots & 7)).astype(np.uint8)) != 0
+            return batch.filter(pa.array(keep))
+
+        pairable = bands.map_batches(keep_pairable,
+                                     batch_format="pyarrow")
+        batches = list(pairable.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
         if not batches:
             pairs = ray.data.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()),
@@ -738,6 +765,99 @@ def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
 #: broadcast bounded regardless of corpus size.
 BROADCAST_SIG_LIMIT = 1_000_000
 
+#: Fuse estimate-prefilter + distinct on the DRIVER while the raw
+#: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
+#: one np.unique + one vectorized uint16 gather replaces a 100+ MB
+#: object-store round trip, a broadcast put, a distributed scoring map
+#: and a separate distinct — the biggest serial-vs-fixed-cost win in the
+#: verify stage at sub-gate sizes. Past the limit the distributed
+#: estimate + distinct run unchanged (identical rows; parity-tested).
+DRIVER_EST_LIMIT = 20_000_000
+
+
+def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
+                     cfg: PipelineConfig) -> np.ndarray:
+    """Per-pair estimate cut: threshold - adaptive 4σ margin (see
+    ``estimate_filter`` docstring)."""
+    m = np.minimum(np.minimum(nsh_a, nsh_b), cfg.num_perms)
+    m = np.maximum(m, 1)
+    return (cfg.jaccard_threshold
+            - np.maximum(cfg.est_prefilter_margin, 2.0 / np.sqrt(m)))
+
+
+def _pull_sig16(sigs: ray.data.Dataset, cfg: PipelineConfig
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver copy of the signature table narrowed to uint16 low slices
+    (narrowing runs distributed; the driver pulls 2 B/slot). Returns
+    (sorted file_ids, uint16[n, num_perms], n_shingles aligned)."""
+
+    def to_u16(batch: pa.Table) -> pa.Table:
+        m16 = (np.asarray(
+            batch["minhash"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            .view(np.uint64).astype(np.uint16))
+        return pa.table({
+            "file_id": batch["file_id"],
+            "sig16": pa.FixedSizeListArray.from_arrays(
+                pa.array(m16, pa.uint16()), cfg.num_perms),
+            "n_shingles": batch["n_shingles"],
+        })
+
+    tbl = pa.concat_tables(
+        [b for b in sigs.select_columns(
+            ["file_id", "minhash", "n_shingles"])
+         .map_batches(to_u16, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)])
+    ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    mat = np.asarray(
+        tbl["sig16"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False),
+        dtype=np.uint16).reshape(len(ids), cfg.num_perms)
+    nsh = np.asarray(tbl["n_shingles"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.argsort(ids)
+    return ids[order], mat[order], nsh[order]
+
+
+def _driver_estimate_distinct(occ: pa.Table, sids: np.ndarray,
+                              smat: np.ndarray, snsh: np.ndarray,
+                              cfg: PipelineConfig) -> pa.Table:
+    """Fused est-prefilter + distinct over a driver-resident occurrence
+    table: unique pairs first (compresses band repeats), ONE uint16
+    gather + slot compare, adaptive cut. Output columns match the
+    distributed estimate→distinct chain exactly."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "n_bands": pa.array([], pa.int64()),
+                      "capped": pa.array([], pa.bool_()),
+                      "est": pa.array([], pa.float64())})
+    if occ.num_rows == 0:
+        return empty
+    a = np.asarray(occ["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(occ["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    cp = np.asarray(occ["capped"].to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    uniq, inv, counts = np.unique(np.stack([a, b], axis=1), axis=0,
+                                  return_inverse=True,
+                                  return_counts=True)
+    capped_any = np.zeros(len(uniq), dtype=bool)
+    np.logical_or.at(capped_any, inv, cp)
+    ia = np.searchsorted(sids, uniq[:, 0])
+    ib = np.searchsorted(sids, uniq[:, 1])
+    est = (smat[ia] == smat[ib]).mean(axis=1)
+    keep = est >= _pair_cut_arrays(snsh[ia], snsh[ib], cfg)
+    if not keep.any():
+        return empty
+    return pa.table({
+        "a": pa.array(uniq[keep, 0]),
+        "b": pa.array(uniq[keep, 1]),
+        "n_bands": pa.array(counts[keep].astype(np.int64)),
+        "capped": pa.array(capped_any[keep]),
+        "est": pa.array(est[keep], pa.float64())})
+
 
 def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                     cfg: PipelineConfig,
@@ -766,15 +886,6 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     fixed-width binary (Arrow joins reject list payloads).
     """
     nparts = num_partitions or join_parts(cfg)
-    thr = cfg.jaccard_threshold
-    base_margin = cfg.est_prefilter_margin
-    nperm = cfg.num_perms
-
-    def _pair_cut(nsh_a: np.ndarray, nsh_b: np.ndarray) -> np.ndarray:
-        """Per-pair estimate cut: threshold - adaptive 4σ margin."""
-        m = np.minimum(np.minimum(nsh_a, nsh_b), nperm)
-        m = np.maximum(m, 1)
-        return thr - np.maximum(base_margin, 2.0 / np.sqrt(m))
 
     from ray.data.dataset import MaterializedDataset
 
@@ -783,41 +894,14 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if n_sigs is not None and n_sigs <= BROADCAST_SIG_LIMIT:
         import ray
 
-        # Ship only the LOW 32 BITS of each signature slot: slot equality
-        # on low halves can only overestimate the match fraction (a false
-        # equality needs a 2^-32 collision), so recall is untouched while
-        # the broadcast AND the per-batch gather move half the bytes —
-        # the estimate gather is the pipeline's bandwidth-bound stage
-        # (BASELINE.md scaling breakdown). The uint32 narrowing runs
-        # DISTRIBUTED (inside map_batches) so the driver pulls 4 B/slot,
-        # not 8, and does no per-slot conversion work itself.
-        def to_u32(batch: pa.Table) -> pa.Table:
-            m32 = (np.asarray(
-                batch["minhash"].combine_chunks().flatten().to_numpy(
-                    zero_copy_only=False), dtype=np.int64)
-                .view(np.uint64).astype(np.uint32))
-            return pa.table({
-                "file_id": batch["file_id"],
-                "sig32": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m32, pa.uint32()), cfg.num_perms),
-                "n_shingles": batch["n_shingles"],
-            })
-
-        tbl = pa.concat_tables(
-            [b for b in sigs.select_columns(
-                ["file_id", "minhash", "n_shingles"])
-             .map_batches(to_u32, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow", batch_size=None)])
-        ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        mat = np.asarray(
-            tbl["sig32"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False),
-            dtype=np.uint32).reshape(len(ids), cfg.num_perms)
-        nsh = np.asarray(tbl["n_shingles"].to_numpy(
-            zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(ids)
-        handle = ray.put((ids[order], mat[order], nsh[order]))
+        # Ship only the LOW 16 BITS of each signature slot: slot equality
+        # on low slices can only overestimate the match fraction (a
+        # false equality needs a 2^-16 collision per slot — at 128 slots
+        # the est bias is +2e-5, six orders below the margin), so recall
+        # is untouched while the broadcast AND the per-batch gather move
+        # a QUARTER of the 64-bit bytes (_pull_sig16 narrows
+        # distributed; the driver pulls 2 B/slot).
+        handle = ray.put(_pull_sig16(sigs, cfg))
 
         def score_bcast(batch: pa.Table) -> pa.Table:
             empty = pa.table({
@@ -850,7 +934,7 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             ia = np.searchsorted(sids, uniq[:, 0])
             ib = np.searchsorted(sids, uniq[:, 1])
             est_u = (smat[ia] == smat[ib]).mean(axis=1)
-            keep = est_u >= _pair_cut(snsh[ia], snsh[ib])
+            keep = est_u >= _pair_cut_arrays(snsh[ia], snsh[ib], cfg)
             if not keep.any():
                 return empty
             return pa.table({
@@ -865,21 +949,21 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         pairs = pairs.repartition(4 * _pool_max(cfg), shuffle=False)
         return pairs.map_batches(score_bcast, batch_format="pyarrow")
 
-    sig_w = cfg.num_perms * 4
+    sig_w = cfg.num_perms * 2
 
     def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         mat = (np.asarray(
             batch["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False), dtype=np.int64)
-            .view(np.uint64).astype(np.uint32).reshape(n, cfg.num_perms))
+            .view(np.uint64).astype(np.uint16).reshape(n, cfg.num_perms))
         nsh = np.ascontiguousarray(np.asarray(
             batch["n_shingles"].to_numpy(zero_copy_only=False),
             dtype=np.int64))
-        # ONE fixed-width blob per row (low-32 sig slots + trailing int64
+        # ONE fixed-width blob per row (low-16 sig slots + trailing int64
         # shingle count): Arrow joins reject list payloads, and a single
-        # binary column keeps the join plumbing simple; low-32 halves the
-        # join payload width (recall-safe — see broadcast path)
+        # binary column keeps the join plumbing simple; low-16 quarters
+        # the join payload width (recall-safe — see broadcast path)
         blob_mat = np.concatenate(
             [mat.view(np.uint8).reshape(n, sig_w),
              nsh.view(np.uint8).reshape(n, 8)], axis=1)
@@ -901,12 +985,12 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                              dtype=np.uint8).reshape(n, sig_w + 8)
         rawb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
                              dtype=np.uint8).reshape(n, sig_w + 8)
-        sa = np.ascontiguousarray(rawa[:, :sig_w]).view(np.uint32)
-        sb = np.ascontiguousarray(rawb[:, :sig_w]).view(np.uint32)
+        sa = np.ascontiguousarray(rawa[:, :sig_w]).view(np.uint16)
+        sb = np.ascontiguousarray(rawb[:, :sig_w]).view(np.uint16)
         na = np.ascontiguousarray(rawa[:, sig_w:]).view(np.int64).ravel()
         nb = np.ascontiguousarray(rawb[:, sig_w:]).view(np.int64).ravel()
         est = (sa == sb).mean(axis=1)
-        keep = est >= _pair_cut(na, nb)
+        keep = est >= _pair_cut_arrays(na, nb, cfg)
         out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
             "est", pa.array(est, pa.float64()))
         return out.filter(pa.array(keep))
@@ -931,13 +1015,37 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     """
     nparts = num_partitions or join_parts(cfg)
     if sigs is not None:
-        # barrier after the prefilter: separates any est-filter join
-        # graph from what follows (aggregator reservations must not
-        # stack) and gives the distinct/content count gates a counted
-        # input
-        pairs = estimate_filter(pairs, sigs, cfg, nparts).materialize()
-        if occurrences:
-            pairs = distinct_pairs(pairs)
+        from ray.data.dataset import MaterializedDataset
+
+        n_occ_rows = (pairs.count()
+                      if isinstance(pairs, MaterializedDataset) else None)
+        n_sigs = (sigs.count()
+                  if isinstance(sigs, MaterializedDataset) else None)
+        if (occurrences and n_occ_rows is not None
+                and n_occ_rows <= DRIVER_EST_LIMIT
+                and n_sigs is not None
+                and n_sigs <= BROADCAST_SIG_LIMIT):
+            # fused driver path: est + distinct in one vectorized step
+            # (see DRIVER_EST_LIMIT rationale)
+            batches = list(pairs.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+            occ_tbl = (pa.concat_tables(batches) if batches
+                       else pa.table({"a": pa.array([], pa.int64()),
+                                      "b": pa.array([], pa.int64()),
+                                      "capped": pa.array([],
+                                                         pa.bool_())}))
+            sids, smat, snsh = _pull_sig16(sigs, cfg)
+            pairs = ray.data.from_arrow(_driver_estimate_distinct(
+                occ_tbl, sids, smat, snsh, cfg))
+        else:
+            # barrier after the prefilter: separates any est-filter join
+            # graph from what follows (aggregator reservations must not
+            # stack) and gives the distinct/content count gates a
+            # counted input
+            pairs = estimate_filter(pairs, sigs, cfg,
+                                    nparts).materialize()
+            if occurrences:
+                pairs = distinct_pairs(pairs)
         # restore map parallelism: the driver-exact distinct yields ONE
         # block (and join/groupby outputs yield few) — split shuffle-free
         # so the content attach + verify maps use every core; 4

@@ -404,3 +404,21 @@ def test_driver_pair_expansion_matches_join(pipe, monkeypatch):
     c_slow = Counter((r["a"], r["b"], r["capped"])
                      for r in slow.take_all())
     assert c_fast == c_slow and len(c_fast) > 0
+
+
+def test_fused_driver_estimate_matches_distributed(pipe, monkeypatch):
+    """The fused driver est+distinct path must produce exactly the
+    distributed estimate_filter -> distinct_pairs chain's verified
+    pairs."""
+    from data_deduplication_service_ray.sources.readers import read_corpus
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    fused = {(r["a"], r["b"], round(r["jaccard"], 12), r["n_bands"])
+             for r in pipe.verified_pairs().take_all()}
+    monkeypatch.setattr(nd, "DRIVER_EST_LIMIT", 0)
+    again = NearDupPipeline(read_corpus(
+        f"{pipe._corpus_dir}/corpus.parquet")
+        if hasattr(pipe, "_corpus_dir") else pipe._raw, CFG)
+    dist = {(r["a"], r["b"], round(r["jaccard"], 12), r["n_bands"])
+            for r in again.verified_pairs().take_all()}
+    assert fused == dist and len(fused) > 0
