@@ -470,6 +470,31 @@ def q_image_features(sf_dir: str):
     return mm.image_features(mm.decode_images(media))
 
 
+def q_audio_features(sf_dir: str):
+    """Audio analog of ``image_features``: document bytes as opaque audio
+    payloads -> actor-pool (stubbed deterministic) decode -> real PCM
+    features (duration/rms/zcr/spectral centroid). Rows-only check; the
+    decode determinism + real-decoder guard are pytest-gated
+    (tests/test_checkpoint_multimodal.py)."""
+    from data_deduplication_service_ray.stages import multimodal as mm
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch["content"].to_pylist()]
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch["file_id"],
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([16_000] * n, pa.int64()),
+            "n_samples": pa.array([2_048] * n, pa.int64()),
+        })
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return mm.audio_features(mm.decode_audio(media))
+
+
 def q_windowed_events(sf_dir: str):
     """Tumbling 1-day event-time windows per event_type."""
     from data_deduplication_service_ray.stages import events as ev
@@ -551,6 +576,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_knn": q_ivf_knn,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
     "windowed_events": q_windowed_events,
     "sessionize": q_sessionize,
     "sessionize_sorted": q_sessionize_sorted,

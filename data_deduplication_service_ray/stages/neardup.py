@@ -324,25 +324,20 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
 DRIVER_PAIR_EXPAND_LIMIT = 20_000_000
 
 
-def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
-    """All-pairs expansion of (band_hash, file_id) rows, bucket-wise.
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "capped": pa.array([], pa.bool_())})
 
-    lexsort by (band_hash, file_id), find bucket runs, then for each
+
+def _expand_cold_sorted(bhs: np.ndarray, fids: np.ndarray) -> pa.Table:
+    """All-pairs expansion of (band_hash, file_id) rows PRE-SORTED by
+    (band_hash, file_id), bucket-wise: find bucket runs, then for each
     bucket size s emit the upper triangle via one (n_buckets_s, s*(s-1)/2)
     gather — no Python per bucket, only per DISTINCT bucket size (<= cap
     distinct sizes)."""
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "capped": pa.array([], pa.bool_())})
-    if tbl.num_rows == 0:
-        return empty
-    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                    dtype=np.int64)
-    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    order = np.lexsort((fid, bh))
-    bhs, fids = bh[order], fid[order]
     n = len(bhs)
+    if n == 0:
+        return _EMPTY_PAIRS
     new = np.ones(n, dtype=bool)
     new[1:] = bhs[1:] != bhs[:-1]
     starts = np.flatnonzero(new)
@@ -356,7 +351,7 @@ def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
         aa.append(fids[st[:, None] + ii[None, :]].ravel())
         bb.append(fids[st[:, None] + jj[None, :]].ravel())
     if not aa:
-        return empty
+        return _EMPTY_PAIRS
     a_all = np.concatenate(aa)
     return pa.table({"a": pa.array(a_all),
                      "b": pa.array(np.concatenate(bb)),
@@ -364,20 +359,13 @@ def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
                                                  dtype=bool))})
 
 
-def _expand_hot_driver(tbl: pa.Table, window: int) -> pa.Table:
-    """Sorted-neighbor window edges for hot buckets (driver path) —
-    same semantics as the distributed expand_hot."""
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "capped": pa.array([], pa.bool_())})
-    if tbl.num_rows == 0:
-        return empty
-    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                    dtype=np.int64)
-    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    order = np.lexsort((fid, bh))
-    bhs, fids = bh[order], fid[order]
+def _expand_hot_sorted(bhs: np.ndarray, fids: np.ndarray,
+                       window: int) -> pa.Table:
+    """Sorted-neighbor window edges for hot-bucket rows PRE-SORTED by
+    (band_hash, file_id) — same semantics as the distributed
+    expand_hot."""
+    if len(bhs) == 0:
+        return _EMPTY_PAIRS
     aa, bb = [], []
     for j in range(1, window + 1):
         if j >= len(bhs):
@@ -386,12 +374,65 @@ def _expand_hot_driver(tbl: pa.Table, window: int) -> pa.Table:
         aa.append(fids[:-j][same])
         bb.append(fids[j:][same])
     if not aa:
-        return empty
+        return _EMPTY_PAIRS
     a_all = np.concatenate(aa)
     return pa.table({"a": pa.array(a_all),
                      "b": pa.array(np.concatenate(bb)),
                      "capped": pa.array(np.ones(len(a_all),
                                                 dtype=bool))})
+
+
+def _sorted_arrays(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((fid, bh))
+    return bh[order], fid[order]
+
+
+def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
+    """Sort + all-pairs bucket expansion (serial driver path)."""
+    if tbl.num_rows == 0:
+        return _EMPTY_PAIRS
+    return _expand_cold_sorted(*_sorted_arrays(tbl))
+
+
+def _expand_hot_driver(tbl: pa.Table, window: int) -> pa.Table:
+    """Sort + sorted-neighbor window expansion (serial driver path)."""
+    if tbl.num_rows == 0:
+        return _EMPTY_PAIRS
+    return _expand_hot_sorted(*_sorted_arrays(tbl), window)
+
+
+def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
+                         window: int) -> pa.Table:
+    """Expand one bucket-aligned sorted slice: all-pairs for bucket
+    sizes 2..cap, window edges beyond cap. Slices always contain WHOLE
+    buckets, so per-slice run detection is globally exact."""
+    n = len(bhs)
+    if n == 0:
+        return _EMPTY_PAIRS
+    new = np.ones(n, dtype=bool)
+    new[1:] = bhs[1:] != bhs[:-1]
+    sizes = np.diff(np.append(np.flatnonzero(new), n))
+    row_sizes = sizes[np.cumsum(new) - 1]
+    tabs = []
+    cold = (row_sizes >= 2) & (row_sizes <= cap)
+    if cold.any():
+        tabs.append(_expand_cold_sorted(bhs[cold], fids[cold]))
+    hot = row_sizes > cap
+    if hot.any():
+        tabs.append(_expand_hot_sorted(bhs[hot], fids[hot], window))
+    if not tabs:
+        return _EMPTY_PAIRS
+    return pa.concat_tables(tabs)
+
+
+@ray.remote
+def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray, cap: int,
+                       window: int) -> pa.Table:
+    return _expand_sorted_slice(bhs, fids, cap, window)
 
 
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
@@ -468,35 +509,64 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
                 "b": pa.array([], pa.int64()),
                 "capped": pa.array([], pa.bool_())}))
             return pairs if not distinct else distinct_pairs(pairs)
-        tbl = pa.concat_tables(batches)
-        bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
-        fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+        # PARALLEL expansion from a driver-held sorted index: the sort
+        # runs in Arrow C++ (multithreaded), run detection is one
+        # vectorized pass, and the O(sum s^2) pair expansion — the only
+        # part that grows faster than the row count, measured 6+ s
+        # serial at 320k files / 27M pairs — fans out as bucket-aligned
+        # Ray tasks whose outputs become dataset blocks directly (no
+        # serial expand, no driver-resident pair table). Slices are cut
+        # by EXACT per-bucket output size (s(s-1)/2 cold, s·w - w(w+1)/2
+        # hot), so blocks are balanced under bucket-size skew.
+        tbl = pa.concat_tables(batches).combine_chunks()
+        tbl = tbl.sort_by([("band_hash", "ascending"),
+                           ("file_id", "ascending")])
+        bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        order = np.lexsort((fid, bh))
-        bhs, fids = bh[order], fid[order]
+        fids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
         n = len(bhs)
         new = np.ones(n, dtype=bool)
         new[1:] = bhs[1:] != bhs[:-1]
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, n))
-        run_id = np.cumsum(new) - 1          # bucket index per row
-        row_sizes = sizes[run_id]
-        cold_rows = (row_sizes >= 2) & (row_sizes <= cap)
-        hot_rows = row_sizes > cap
-        cold_tbl = pa.table({"band_hash": pa.array(bhs[cold_rows]),
-                             "file_id": pa.array(fids[cold_rows])})
-        tabs = [_expand_cold_driver(cold_tbl)]
-        if hot_rows.any():
-            tabs.append(_expand_hot_driver(
-                pa.table({"band_hash": pa.array(bhs[hot_rows]),
-                          "file_id": pa.array(fids[hot_rows])}), window))
-        pairs_tbl = pa.concat_tables(tabs)
-        if distinct and pairs_tbl.num_rows <= DRIVER_DISTINCT_LIMIT:
-            # fuse the distinct while the pairs are still in driver
-            # memory — no object-store round trip
-            return ray.data.from_arrow(_driver_distinct_table(pairs_tbl))
-        pairs = ray.data.from_arrow(pairs_tbl)
+        w_hot = np.int64(window)
+        weights = np.where(
+            sizes > cap,
+            sizes * w_hot - (w_hot * (w_hot + 1)) // 2,
+            sizes * (sizes - 1) // 2)
+        weights[sizes < 2] = 0
+        total_pairs = int(weights.sum())
+        if total_pairs == 0:
+            pairs = ray.data.from_arrow(_EMPTY_PAIRS)
+            return pairs if not distinct else distinct_pairs(pairs)
+        n_slices = min(128, 4 * _pool_max(cfg),
+                       max(1, total_pairs // 200_000 + 1))
+        if n_slices <= 1:
+            pairs_tbl = _expand_sorted_slice(bhs, fids, cap, window)
+            if distinct and pairs_tbl.num_rows <= DRIVER_DISTINCT_LIMIT:
+                # fuse the distinct while the pairs are still in driver
+                # memory — no object-store round trip
+                return ray.data.from_arrow(
+                    _driver_distinct_table(pairs_tbl))
+            pairs = ray.data.from_arrow(pairs_tbl)
+            return pairs if not distinct else distinct_pairs(pairs)
+        cw = np.cumsum(weights)
+        targets = (np.arange(1, n_slices)
+                   * (total_pairs / n_slices)).astype(np.int64)
+        cut_buckets = np.unique(np.searchsorted(cw, targets,
+                                                side="left") + 1)
+        bucket_bounds = np.concatenate(
+            ([0], cut_buckets[cut_buckets < len(starts)], [len(starts)]))
+        row_bounds = np.append(starts, n)[bucket_bounds]
+        refs = [_expand_slice_task.remote(bhs[lo:hi], fids[lo:hi],
+                                          cap, window)
+                for lo, hi in zip(row_bounds[:-1], row_bounds[1:])
+                if hi > lo]
+        if distinct and total_pairs <= DRIVER_DISTINCT_LIMIT:
+            return ray.data.from_arrow(_driver_distinct_table(
+                pa.concat_tables(_ray.get(refs))))
+        pairs = ray.data.from_arrow_refs(refs)
         return pairs if not distinct else distinct_pairs(pairs)
 
     hot_keys = detect_hot_keys(bands, cap)
