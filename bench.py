@@ -29,9 +29,15 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _init_ray(num_cpus: int) -> None:
     import logging
 
+    import pyarrow as pa
     import ray
     from ray.data import DataContext
 
+    # Honest N-node simulation: driver-side Arrow C++ kernels (the
+    # candidate-expansion sort_by above all) would otherwise use every
+    # HOST core even in the low-CPU run — a 4-node cluster has no such
+    # extra cores anywhere, so cap the driver pool to the simulated size.
+    pa.set_cpu_count(num_cpus)
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, logging_level="ERROR")

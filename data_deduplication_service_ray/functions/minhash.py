@@ -96,9 +96,19 @@ def oph_signatures_batch(shingle_sets: list[np.ndarray],
         concat = np.concatenate(
             [s for s in shingle_sets if len(s)])
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        mixed = splitmix64(concat ^ (_OPH_SEED + U64(seed)))
-        bins = doc_idx * num_perms + (mixed >> shift).astype(np.int64)
-        np.minimum.at(flat, bins, mixed)
+        xseed = _OPH_SEED + U64(seed)
+        # L2-sized chunks: the splitmix temporaries and the bin vector
+        # for a full batch (tens of MB) would stream through main
+        # memory — at 32 concurrent workers on one socket that bus
+        # traffic is the contended resource. 64Ki shingles keeps every
+        # intermediate ~0.5 MiB; results are identical (scatter-min is
+        # order- and chunk-independent).
+        step = 1 << 16
+        for off in range(0, len(concat), step):
+            mixed = splitmix64(concat[off:off + step] ^ xseed)
+            bins = (doc_idx[off:off + step] * num_perms
+                    + (mixed >> shift).astype(np.int64))
+            np.minimum.at(flat, bins, mixed)
     sigs = flat.reshape(n_docs, num_perms)
 
     # densification: only rows with at least one empty-but-not-all-empty
@@ -183,10 +193,19 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def exact_jaccard(set_a: np.ndarray, set_b: np.ndarray) -> float:
-    """Exact Jaccard of two *unique-valued* uint64 arrays."""
+    """Exact Jaccard of two *sorted unique-valued* uint64 arrays
+    (``np.unique`` output). Intersection by binary search of the smaller
+    set into the larger — O(m log n) with no concat+sort, ~3x faster
+    than ``np.intersect1d`` at verifier sizes."""
     if len(set_a) == 0 and len(set_b) == 0:
         return 1.0
-    inter = len(np.intersect1d(set_a, set_b, assume_unique=True))
+    if len(set_a) > len(set_b):
+        set_a, set_b = set_b, set_a
+    if len(set_a) == 0:
+        return 0.0
+    pos = np.searchsorted(set_b, set_a)
+    pos[pos == len(set_b)] = len(set_b) - 1
+    inter = int((set_b[pos] == set_a).sum())
     union = len(set_a) + len(set_b) - inter
     return inter / union if union else 1.0
 

@@ -174,7 +174,8 @@ def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
             "file_id": pa.array(np.repeat(fid, bands)),
         })
 
-    return sigs.map_batches(expand, batch_format="pyarrow")
+    return sigs.map_batches(expand, batch_format="pyarrow",
+                            batch_size=None)
 
 
 def detect_hot_keys(bands: ray.data.Dataset, cap: int,
@@ -500,7 +501,8 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
             return batch.filter(pa.array(keep))
 
         pairable = bands.map_batches(keep_pairable,
-                                     batch_format="pyarrow")
+                                     batch_format="pyarrow",
+                                     batch_size=None)
         batches = list(pairable.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
         if not batches:
@@ -596,7 +598,8 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     # side join guard (Ray 2.49's hash join raises ArrowInvalid on a
     # fully EMPTY side, observed under extreme skew) both need counts
     cold = bands.map_batches(
-        split_cold, batch_format="pyarrow").materialize()
+        split_cold, batch_format="pyarrow",
+        batch_size=None).materialize()
     n_cold = cold.count()
     cold_empty = n_cold == 0
     if hot_arr is not None:
@@ -605,7 +608,8 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
                                          value_set=hot_arr))
 
         hot = bands.map_batches(
-            split_hot, batch_format="pyarrow").materialize()
+            split_hot, batch_format="pyarrow",
+            batch_size=None).materialize()
         n_hot = hot.count()
     else:
         hot, n_hot = None, 0
@@ -777,13 +781,15 @@ class VerifyStage:
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.cache: dict[int, tuple[np.ndarray, np.uint64]] = {}
+        self.cache: dict[int, tuple[np.ndarray, np.uint64 | None]] = {}
 
-    def _features(self, fid: int, text: str) -> tuple[np.ndarray, np.uint64]:
+    def _features(self, fid: int, text: str, need_sim: bool
+                  ) -> tuple[np.ndarray, np.uint64 | None]:
         hit = self.cache.get(fid)
-        if hit is None:
+        if hit is None or (need_sim and hit[1] is None):
             sh = shingle_array(text, self.cfg)
-            hit = (np.unique(sh), mh.simhash64(sh))
+            hit = (np.unique(sh) if hit is None else hit[0],
+                   mh.simhash64(sh) if need_sim else None)
             if len(self.cache) >= self._CACHE_MAX:
                 self.cache.clear()
             self.cache[fid] = hit
@@ -794,23 +800,30 @@ class VerifyStage:
         b_ids = batch["b"].to_pylist()
         a_txt = batch["content_a"].to_pylist()
         b_txt = batch["content_b"].to_pylist()
+        # ``hamming`` may already ride the pairs — the estimate
+        # prefilter emits the exact popcount from the signature-stage
+        # simhashes (one vectorized pass per unique pair), in which case
+        # re-deriving SimHash from shingles here would be pure waste
+        need_sim = "hamming" not in batch.column_names
         jac = np.empty(len(a_ids), dtype=np.float64)
-        ham = np.empty(len(a_ids), dtype=np.int64)
+        ham = (np.empty(len(a_ids), dtype=np.int64) if need_sim
+               else None)
         contained = np.empty(len(a_ids), dtype=bool)
         for i, (ai, bi, at, bt) in enumerate(
                 zip(a_ids, b_ids, a_txt, b_txt)):
-            set_a, sim_a = self._features(ai, at)
-            set_b, sim_b = self._features(bi, bt)
+            set_a, sim_a = self._features(ai, at, need_sim)
+            set_b, sim_b = self._features(bi, bt, need_sim)
             jac[i] = mh.exact_jaccard(set_a, set_b)
-            ham[i] = mh.hamming64(np.array([sim_a]),
-                                  np.array([sim_b]))[0]
+            if need_sim:
+                ham[i] = (int(sim_a) ^ int(sim_b)).bit_count()
             # substring containment in either direction (the suffix-array
             # pass over grouped content covers the cross-pair case;
             # within a verified pair the two-way scan is exact and cheap)
             contained[i] = (at in bt) or (bt in at)
         out = batch.drop_columns(["content_a", "content_b"])
         out = out.append_column("jaccard", pa.array(jac))
-        out = out.append_column("hamming", pa.array(ham))
+        if need_sim:
+            out = out.append_column("hamming", pa.array(ham))
         out = out.append_column("contained", pa.array(contained))
         return out
 
@@ -837,7 +850,7 @@ BROADCAST_SIG_LIMIT = 1_000_000
 
 #: Fuse estimate-prefilter + distinct on the DRIVER while the raw
 #: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
-#: one np.unique + one vectorized uint16 gather replaces a 100+ MB
+#: one np.unique + one vectorized uint8 gather replaces a 100+ MB
 #: object-store round trip, a broadcast put, a distributed scoring map
 #: and a separate distinct — the biggest serial-vs-fixed-cost win in the
 #: verify stage at sub-gate sizes. Past the limit the distributed
@@ -855,78 +868,117 @@ def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
             - np.maximum(cfg.est_prefilter_margin, 2.0 / np.sqrt(m)))
 
 
-def _pull_sig16(sigs: ray.data.Dataset, cfg: PipelineConfig
-                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Driver copy of the signature table narrowed to uint16 low slices
-    (narrowing runs distributed; the driver pulls 2 B/slot). Returns
-    (sorted file_ids, uint16[n, num_perms], n_shingles aligned)."""
+def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Driver copy of the signature table narrowed to uint8 low slices
+    (narrowing runs distributed; the driver pulls 1 B/slot). Returns
+    (sorted file_ids, uint8[n, num_perms], n_shingles, simhash uint64)
+    all aligned; carrying the 8-byte simhash lets the estimate emit the
+    exact ``hamming`` column for free (one vectorized popcount per
+    UNIQUE pair) so the content verifier never recomputes SimHash.
 
-    def to_u16(batch: pa.Table) -> pa.Table:
-        m16 = (np.asarray(
+    Slice-equality on low bytes can only OVERESTIMATE the match
+    fraction: a false slot equality needs a 2^-8 collision, so the est
+    bias is at most +(1-J)/256 ≈ +0.004 — two orders below the 0.2
+    prefilter margin, and upward-only, so recall is untouched while the
+    broadcast and every per-batch gather move 1/8 of the 64-bit bytes.
+    """
+
+    def to_u8(batch: pa.Table) -> pa.Table:
+        m8 = (np.asarray(
             batch["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False), dtype=np.int64)
-            .view(np.uint64).astype(np.uint16))
+            .view(np.uint64).astype(np.uint8))
         return pa.table({
             "file_id": batch["file_id"],
-            "sig16": pa.FixedSizeListArray.from_arrays(
-                pa.array(m16, pa.uint16()), cfg.num_perms),
+            "sig8": pa.FixedSizeListArray.from_arrays(
+                pa.array(m8, pa.uint8()), cfg.num_perms),
             "n_shingles": batch["n_shingles"],
+            "simhash": batch["simhash"],
         })
 
     tbl = pa.concat_tables(
         [b for b in sigs.select_columns(
-            ["file_id", "minhash", "n_shingles"])
-         .map_batches(to_u16, batch_format="pyarrow")
+            ["file_id", "minhash", "n_shingles", "simhash"])
+         .map_batches(to_u8, batch_format="pyarrow", batch_size=None)
          .iter_batches(batch_format="pyarrow", batch_size=None)])
     ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
     mat = np.asarray(
-        tbl["sig16"].combine_chunks().flatten().to_numpy(
+        tbl["sig8"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False),
-        dtype=np.uint16).reshape(len(ids), cfg.num_perms)
+        dtype=np.uint8).reshape(len(ids), cfg.num_perms)
     nsh = np.asarray(tbl["n_shingles"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
+    sim = np.asarray(tbl["simhash"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64).view(np.uint64)
     order = np.argsort(ids)
-    return ids[order], mat[order], nsh[order]
+    return ids[order], mat[order], nsh[order], sim[order]
+
+
+def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
+                      sids: np.ndarray, smat: np.ndarray,
+                      snsh: np.ndarray, ssim: np.ndarray,
+                      cfg: PipelineConfig, count_col: str) -> pa.Table:
+    """Shared estimate core: compress occurrence rows to unique pairs
+    via a PACKED dense-index key (ia<<32 | ib — both sides index the
+    sorted signature id array, so one 1-D int64 ``np.unique`` replaces
+    the ~5x-slower 2-column ``axis=0`` unique and the unique order still
+    equals (a, b) lexicographic), then ONE uint8 slice gather + slot
+    compare per unique pair with the adaptive cut. The exact ``hamming``
+    rides along (popcount of the gathered simhashes) so the content
+    verifier never recomputes SimHash."""
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      count_col: pa.array([], pa.int64()),
+                      "capped": pa.array([], pa.bool_()),
+                      "est": pa.array([], pa.float64()),
+                      "hamming": pa.array([], pa.int64())})
+    if len(a) == 0:
+        return empty
+    ia = np.searchsorted(sids, a)
+    ib = np.searchsorted(sids, b)
+    key = (ia.astype(np.int64) << 32) | ib
+    ukey, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    capped_any = np.zeros(len(ukey), dtype=bool)
+    np.logical_or.at(capped_any, inv, cp)
+    uia = (ukey >> 32).astype(np.int64)
+    uib = (ukey & 0xFFFFFFFF).astype(np.int64)
+    est = (smat[uia] == smat[uib]).mean(axis=1)
+    keep = est >= _pair_cut_arrays(snsh[uia], snsh[uib], cfg)
+    if not keep.any():
+        return empty
+    uia, uib = uia[keep], uib[keep]
+    ham = mh.hamming64(ssim[uia], ssim[uib])
+    return pa.table({
+        "a": pa.array(sids[uia]),
+        "b": pa.array(sids[uib]),
+        count_col: pa.array(counts[keep].astype(np.int64)),
+        "capped": pa.array(capped_any[keep]),
+        "est": pa.array(est[keep], pa.float64()),
+        "hamming": pa.array(ham, pa.int64())})
 
 
 def _driver_estimate_distinct(occ: pa.Table, sids: np.ndarray,
                               smat: np.ndarray, snsh: np.ndarray,
+                              ssim: np.ndarray,
                               cfg: PipelineConfig) -> pa.Table:
     """Fused est-prefilter + distinct over a driver-resident occurrence
-    table: unique pairs first (compresses band repeats), ONE uint16
-    gather + slot compare, adaptive cut. Output columns match the
+    table (see ``_est_unique_score``). Output columns match the
     distributed estimate→distinct chain exactly."""
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "n_bands": pa.array([], pa.int64()),
-                      "capped": pa.array([], pa.bool_()),
-                      "est": pa.array([], pa.float64())})
     if occ.num_rows == 0:
-        return empty
+        return _est_unique_score(
+            np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, bool), sids, smat, snsh, ssim, cfg, "n_bands")
     a = np.asarray(occ["a"].to_numpy(zero_copy_only=False),
                    dtype=np.int64)
     b = np.asarray(occ["b"].to_numpy(zero_copy_only=False),
                    dtype=np.int64)
     cp = np.asarray(occ["capped"].to_numpy(zero_copy_only=False),
                     dtype=bool)
-    uniq, inv, counts = np.unique(np.stack([a, b], axis=1), axis=0,
-                                  return_inverse=True,
-                                  return_counts=True)
-    capped_any = np.zeros(len(uniq), dtype=bool)
-    np.logical_or.at(capped_any, inv, cp)
-    ia = np.searchsorted(sids, uniq[:, 0])
-    ib = np.searchsorted(sids, uniq[:, 1])
-    est = (smat[ia] == smat[ib]).mean(axis=1)
-    keep = est >= _pair_cut_arrays(snsh[ia], snsh[ib], cfg)
-    if not keep.any():
-        return empty
-    return pa.table({
-        "a": pa.array(uniq[keep, 0]),
-        "b": pa.array(uniq[keep, 1]),
-        "n_bands": pa.array(counts[keep].astype(np.int64)),
-        "capped": pa.array(capped_any[keep]),
-        "est": pa.array(est[keep], pa.float64())})
+    return _est_unique_score(a, b, cp, sids, smat, snsh, ssim, cfg,
+                             "n_bands")
 
 
 def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
@@ -964,31 +1016,13 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if n_sigs is not None and n_sigs <= BROADCAST_SIG_LIMIT:
         import ray
 
-        # Ship only the LOW 16 BITS of each signature slot: slot equality
-        # on low slices can only overestimate the match fraction (a
-        # false equality needs a 2^-16 collision per slot — at 128 slots
-        # the est bias is +2e-5, six orders below the margin), so recall
-        # is untouched while the broadcast AND the per-batch gather move
-        # a QUARTER of the 64-bit bytes (_pull_sig16 narrows
-        # distributed; the driver pulls 2 B/slot).
-        handle = ray.put(_pull_sig16(sigs, cfg))
+        # Ship only the LOW 8 BITS of each signature slot (see
+        # _pull_sig8: upward-only bias +0.004 vs a 0.2 margin) — the
+        # broadcast and every per-batch gather move 1/8 of the 64-bit
+        # bytes.
+        handle = ray.put(_pull_sig8(sigs, cfg))
 
         def score_bcast(batch: pa.Table) -> pa.Table:
-            empty = pa.table({
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "n_occ": pa.array([], pa.int64()),
-                "capped": pa.array([], pa.bool_()),
-                "est": pa.array([], pa.float64())})
-            if batch.num_rows == 0:
-                return empty
-            sids, smat, snsh = ray.get(handle)
-            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
-                           dtype=np.int64)
-            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
-                           dtype=np.int64)
-            cp = np.asarray(batch["capped"].to_numpy(
-                zero_copy_only=False), dtype=bool)
             # COMPRESS per block: one output row per unique (a,b) with
             # its exact in-block occurrence count (n_occ) and capped-any.
             # The same pair repeats across bands (hot windows
@@ -996,76 +1030,88 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             # signature gather AND the global distinct groupby keeps
             # both proportional to unique pairs. Sums of exact partial
             # counts stay layout-independent.
-            ab = np.stack([a, b], axis=1)
-            uniq, inverse, counts = np.unique(
-                ab, axis=0, return_inverse=True, return_counts=True)
-            capped_any = np.zeros(len(uniq), dtype=bool)
-            np.logical_or.at(capped_any, inverse, cp)
-            ia = np.searchsorted(sids, uniq[:, 0])
-            ib = np.searchsorted(sids, uniq[:, 1])
-            est_u = (smat[ia] == smat[ib]).mean(axis=1)
-            keep = est_u >= _pair_cut_arrays(snsh[ia], snsh[ib], cfg)
-            if not keep.any():
-                return empty
-            return pa.table({
-                "a": pa.array(uniq[keep, 0]),
-                "b": pa.array(uniq[keep, 1]),
-                "n_occ": pa.array(counts[keep].astype(np.int64)),
-                "capped": pa.array(capped_any[keep]),
-                "est": pa.array(est_u[keep], pa.float64())})
+            sids, smat, snsh, ssim = ray.get(handle)
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            cp = np.asarray(batch["capped"].to_numpy(
+                zero_copy_only=False), dtype=bool)
+            return _est_unique_score(a, b, cp, sids, smat, snsh, ssim,
+                                     cfg, "n_occ")
 
         # join outputs leave ~join_parts big blocks; split them so the
-        # (memory-bandwidth-heavy) signature-gather map uses every core
+        # (memory-bandwidth-heavy) signature-gather map uses every core.
+        # batch_size=None: the whole block per call — the default 1024-
+        # row batching would re-pay the Python + unique + gather setup
+        # thousands of times per block AND compress band repeats far
+        # less (smaller batches see fewer repeats of the same pair).
         pairs = pairs.repartition(4 * _pool_max(cfg), shuffle=False)
-        return pairs.map_batches(score_bcast, batch_format="pyarrow")
+        return pairs.map_batches(score_bcast, batch_format="pyarrow",
+                                 batch_size=None)
 
-    sig_w = cfg.num_perms * 2
+    sig_w = cfg.num_perms
 
     def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         mat = (np.asarray(
             batch["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False), dtype=np.int64)
-            .view(np.uint64).astype(np.uint16).reshape(n, cfg.num_perms))
+            .view(np.uint64).astype(np.uint8).reshape(n, cfg.num_perms))
         nsh = np.ascontiguousarray(np.asarray(
             batch["n_shingles"].to_numpy(zero_copy_only=False),
             dtype=np.int64))
-        # ONE fixed-width blob per row (low-16 sig slots + trailing int64
-        # shingle count): Arrow joins reject list payloads, and a single
-        # binary column keeps the join plumbing simple; low-16 quarters
-        # the join payload width (recall-safe — see broadcast path)
+        sim = np.ascontiguousarray(np.asarray(
+            batch["simhash"].to_numpy(zero_copy_only=False),
+            dtype=np.int64))
+        # ONE fixed-width blob per row (low-8 sig slots + trailing int64
+        # shingle count + int64 simhash): Arrow joins reject list
+        # payloads, and a single binary column keeps the join plumbing
+        # simple; low-8 slices cut the sig payload width 8x (recall-safe
+        # — see _pull_sig8); the simhash rides so this path emits the
+        # same ``hamming`` column as the broadcast path
         blob_mat = np.concatenate(
-            [mat.view(np.uint8).reshape(n, sig_w),
-             nsh.view(np.uint8).reshape(n, 8)], axis=1)
+            [mat, nsh.view(np.uint8).reshape(n, 8),
+             sim.view(np.uint8).reshape(n, 8)], axis=1)
         blobs = [row.tobytes() for row in blob_mat]
         return pa.table({"file_id": batch["file_id"],
                          "sig": pa.array(blobs, pa.binary())})
 
     packed = sigs.select_columns(
-        ["file_id", "minhash", "n_shingles"]).map_batches(
-        pack, batch_format="pyarrow")
+        ["file_id", "minhash", "n_shingles", "simhash"]).map_batches(
+        pack, batch_format="pyarrow", batch_size=None)
     both = _join_both_sides(pairs, packed, "sig", "sig", nparts)
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return batch.drop_columns(["sig_a", "sig_b"]).append_column(
-                "est", pa.array([], pa.float64()))
+            return (batch.drop_columns(["sig_a", "sig_b"])
+                    .append_column("est", pa.array([], pa.float64()))
+                    .append_column("hamming", pa.array([], pa.int64())))
         rawa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
-                             dtype=np.uint8).reshape(n, sig_w + 8)
+                             dtype=np.uint8).reshape(n, sig_w + 16)
         rawb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
-                             dtype=np.uint8).reshape(n, sig_w + 8)
-        sa = np.ascontiguousarray(rawa[:, :sig_w]).view(np.uint16)
-        sb = np.ascontiguousarray(rawb[:, :sig_w]).view(np.uint16)
-        na = np.ascontiguousarray(rawa[:, sig_w:]).view(np.int64).ravel()
-        nb = np.ascontiguousarray(rawb[:, sig_w:]).view(np.int64).ravel()
+                             dtype=np.uint8).reshape(n, sig_w + 16)
+        sa = rawa[:, :sig_w]
+        sb = rawb[:, :sig_w]
+        na = (np.ascontiguousarray(rawa[:, sig_w:sig_w + 8])
+              .view(np.int64).ravel())
+        nb = (np.ascontiguousarray(rawb[:, sig_w:sig_w + 8])
+              .view(np.int64).ravel())
+        sima = (np.ascontiguousarray(rawa[:, sig_w + 8:])
+                .view(np.uint64).ravel())
+        simb = (np.ascontiguousarray(rawb[:, sig_w + 8:])
+                .view(np.uint64).ravel())
         est = (sa == sb).mean(axis=1)
+        ham = mh.hamming64(sima, simb)
         keep = est >= _pair_cut_arrays(na, nb, cfg)
-        out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
-            "est", pa.array(est, pa.float64()))
+        out = (batch.drop_columns(["sig_a", "sig_b"])
+               .append_column("est", pa.array(est, pa.float64()))
+               .append_column("hamming", pa.array(ham, pa.int64())))
         return out.filter(pa.array(keep))
 
-    return both.map_batches(score, batch_format="pyarrow")
+    return both.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)
 
 
 def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
@@ -1104,9 +1150,9 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                                       "b": pa.array([], pa.int64()),
                                       "capped": pa.array([],
                                                          pa.bool_())}))
-            sids, smat, snsh = _pull_sig16(sigs, cfg)
+            sids, smat, snsh, ssim = _pull_sig8(sigs, cfg)
             pairs = ray.data.from_arrow(_driver_estimate_distinct(
-                occ_tbl, sids, smat, snsh, cfg))
+                occ_tbl, sids, smat, snsh, ssim, cfg))
         else:
             # barrier after the prefilter: separates any est-filter join
             # graph from what follows (aggregator reservations must not
@@ -1191,7 +1237,8 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
         # buffers serialize without per-string Python objects, and the
         # attach step is a vectorized searchsorted + take
         parts = [b for b in slim_docs.map_batches(
-            keep, batch_format="pyarrow").iter_batches(
+            keep, batch_format="pyarrow",
+            batch_size=None).iter_batches(
             batch_format="pyarrow", batch_size=None)]
         tbl = (pa.concat_tables(parts) if parts
                else pa.table({"file_id": pa.array([], pa.int64()),
@@ -1217,7 +1264,8 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
                     .append_column("content_b",
                                    scontent.take(pa.array(ib))))
 
-        return pairs.map_batches(attach, batch_format="pyarrow")
+        return pairs.map_batches(attach, batch_format="pyarrow",
+                                 batch_size=None)
 
     return _join_both_sides(pairs, slim_docs, "content", "content", nparts)
 
@@ -1282,7 +1330,8 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
         })
 
     slim = sigs.select_columns(["file_id", "simhash"]).materialize()
-    bands = slim.map_batches(to_bands, batch_format="pyarrow")
+    bands = slim.map_batches(to_bands, batch_format="pyarrow",
+                             batch_size=None)
     sim_cfg = cfg.with_(bucket_cap=max(cfg.bucket_cap, 4096))
     pairs = candidate_pairs(bands, sim_cfg, distinct=True).materialize()
     max_d = cfg.simhash_max_hamming
@@ -1327,7 +1376,8 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
             hb = ssim[np.searchsorted(sids, b)]
             return _finish(a, b, cp, ha, hb)
 
-        return pairs.map_batches(verify, batch_format="pyarrow")
+        return pairs.map_batches(verify, batch_format="pyarrow",
+                                 batch_size=None)
 
     # join fallback: fingerprint table too big to broadcast — attach the
     # int64 simhash to each side with hash joins
@@ -1350,4 +1400,5 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
                         dtype=np.int64)
         return _finish(a, b, cp, ha, hb)
 
-    return both.map_batches(verify_joined, batch_format="pyarrow")
+    return both.map_batches(verify_joined, batch_format="pyarrow",
+                            batch_size=None)
