@@ -101,8 +101,7 @@ class SignatureStage:
                                            self.cfg.seed)
         else:
             sigs = mh.minhash_signatures_batch(shingle_sets, self.seeds)
-        simhashes = np.array([mh.simhash64(s) for s in shingle_sets],
-                             dtype=np.uint64)
+        simhashes = mh.simhash64_batch(shingle_sets)
         n = np.array([len(s) for s in shingle_sets], dtype=np.int64)
         flat = _as_i64(sigs.reshape(-1))
         return pa.table({

@@ -146,3 +146,50 @@ def test_oph_matches_itself_and_shapes(sets):
     b = mh.oph_signatures_batch([x.copy() for x in arrs], 128, 42)
     assert np.array_equal(a, b)
     assert a.shape == (len(sets), 128)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 2**64 - 1), min_size=0,
+                         max_size=300), min_size=1, max_size=10))
+def test_simhash_batch_matches_per_doc(sets):
+    arrs = [np.array(s, dtype=np.uint64) for s in sets]
+    batch = mh.simhash64_batch(arrs)
+    per_doc = np.array([mh.simhash64(a) for a in arrs], dtype=np.uint64)
+    assert np.array_equal(batch, per_doc)
+
+
+def test_oph_sort_and_scatter_branches_agree():
+    """OPH picks a sort-based path for long-doc batches and a scatter-min
+    path for short-doc batches; a document's signature must not depend on
+    which branch its batch landed in (padding with empty docs flips the
+    mean-length branch condition without touching the real docs)."""
+    rng = np.random.default_rng(11)
+    sets = [rng.integers(0, 2**63, size=n, dtype=np.uint64)
+            for n in (500, 900, 384, 2000)]
+    a = mh.oph_signatures_batch(sets, 128, 42)          # mean >= 384
+    padded = sets + [np.empty(0, np.uint64)] * 60       # mean ~59
+    b = mh.oph_signatures_batch(padded, 128, 42)
+    assert np.array_equal(a, b[:4])
+    s_long = mh.simhash64_batch(sets)                   # per-doc bincount
+    s_short = mh.simhash64_batch(padded)                # batched reduceat
+    assert np.array_equal(s_long, s_short[:4])
+
+
+def test_simhash_batch_chunk_spanning_and_empty_edges():
+    """A document longer than the internal chunk must accumulate across
+    chunks; leading/trailing empty docs must keep fingerprint 0; OPH must
+    agree with the single-doc path under the same edge layout."""
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 2**63, size=40000, dtype=np.uint64)
+    small = rng.integers(0, 2**63, size=5, dtype=np.uint64)
+    arrs = [np.empty(0, np.uint64), big, np.empty(0, np.uint64),
+            small, np.empty(0, np.uint64)]
+    batch = mh.simhash64_batch(arrs)
+    per_doc = np.array([mh.simhash64(a) for a in arrs], dtype=np.uint64)
+    assert np.array_equal(batch, per_doc)
+    assert batch[0] == 0 and batch[2] == 0 and batch[4] == 0
+    oph = mh.oph_signatures_batch(arrs, 128, 42)
+    solo = mh.oph_signatures_batch([big], 128, 42)
+    assert np.array_equal(oph[1], solo[0])
+    assert np.array_equal(oph[0], np.full(128, np.iinfo(np.uint64).max,
+                                          dtype=np.uint64))
