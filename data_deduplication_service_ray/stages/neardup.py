@@ -435,6 +435,29 @@ def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray, cap: int,
     return _expand_sorted_slice(bhs, fids, cap, window)
 
 
+@ray.remote
+def _expand_hash_slice_task(bhs: np.ndarray, fids: np.ndarray, cap: int,
+                            window: int) -> pa.Table:
+    """Sort-then-expand one hash partition of (band_hash, file_id) rows.
+    The slice holds WHOLE buckets (rows were partitioned by band_hash
+    bits), so the local lexsort makes bucket runs globally exact."""
+    order = np.lexsort((fids, bhs))
+    return _expand_sorted_slice(bhs[order], fids[order], cap, window)
+
+
+#: Above this many pairable band rows the driver's global two-key sort
+#: (the only serial step left in the fast path — 1.5 s at 5.7M rows,
+#: and it cannot scale with CPUs) is replaced by hash-partitioned
+#: task-side sorts: rows are grouped by the low bits of band_hash (the
+#: key is splitmix-mixed, so low bits are uniform and buckets stay
+#: whole per partition) with one radix argsort of int8 partition ids,
+#: and each expansion task lexsorts its own ~n/128 slice in parallel.
+#: Identical pair multiset: per-bucket expansion only needs the bucket's
+#: rows contiguous and fid-sorted, which the task-local sort provides.
+_DRIVER_SORT_LIMIT = 2_000_000
+_HASH_EXPAND_PARTS = 128
+
+
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
                     num_partitions: int | None = None,
                     distinct: bool = True) -> ray.data.Dataset:
@@ -520,6 +543,28 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
         # by EXACT per-bucket output size (s(s-1)/2 cold, s·w - w(w+1)/2
         # hot), so blocks are balanced under bucket-size skew.
         tbl = pa.concat_tables(batches).combine_chunks()
+        if tbl.num_rows > _DRIVER_SORT_LIMIT:
+            # parallel path: see _DRIVER_SORT_LIMIT. distinct_pairs has
+            # its own count-gated driver/distributed split, so no fused
+            # driver distinct here (total pair count is unknown until
+            # the tasks run).
+            bhs = np.asarray(
+                tbl["band_hash"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            fids = np.asarray(
+                tbl["file_id"].to_numpy(zero_copy_only=False),
+                dtype=np.int64)
+            part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(
+                np.int8)
+            order = np.argsort(part, kind="stable")  # int8 => radix
+            bhs_s, fids_s = bhs[order], fids[order]
+            offs = np.concatenate(([0], np.cumsum(
+                np.bincount(part, minlength=_HASH_EXPAND_PARTS))))
+            refs = [_expand_hash_slice_task.remote(
+                        bhs_s[lo:hi], fids_s[lo:hi], cap, window)
+                    for lo, hi in zip(offs[:-1], offs[1:]) if hi > lo]
+            pairs = ray.data.from_arrow_refs(refs)
+            return pairs if not distinct else distinct_pairs(pairs)
         tbl = tbl.sort_by([("band_hash", "ascending"),
                            ("file_id", "ascending")])
         bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),

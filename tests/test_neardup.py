@@ -406,6 +406,34 @@ def test_driver_pair_expansion_matches_join(pipe, monkeypatch):
     assert c_fast == c_slow and len(c_fast) > 0
 
 
+def test_hash_partition_expansion_matches_sorted(pipe, monkeypatch):
+    """Above _DRIVER_SORT_LIMIT the driver's global sort is replaced by
+    hash-partitioned task-side sorts; the pair multiset must be
+    identical (buckets stay whole per partition by construction)."""
+    from collections import Counter
+
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    bands = nd.band_rows(pipe.signatures(), CFG)
+    base = Counter((r["a"], r["b"], r["capped"])
+                   for r in nd.candidate_pairs(
+                       bands, CFG, distinct=False).take_all())
+    monkeypatch.setattr(nd, "_DRIVER_SORT_LIMIT", 0)
+    hashed = Counter((r["a"], r["b"], r["capped"])
+                     for r in nd.candidate_pairs(
+                         bands, CFG, distinct=False).take_all())
+    assert base == hashed and len(base) > 0
+    # distinct=True exercises distinct_pairs' own gates on the new path
+    d_base = {(r["a"], r["b"], r["n_bands"])
+              for r in nd.candidate_pairs(bands, CFG,
+                                          distinct=True).take_all()}
+    monkeypatch.undo()
+    d_sorted = {(r["a"], r["b"], r["n_bands"])
+                for r in nd.candidate_pairs(bands, CFG,
+                                            distinct=True).take_all()}
+    assert d_base == d_sorted and len(d_base) > 0
+
+
 def test_fused_driver_estimate_matches_distributed(pipe, monkeypatch):
     """The fused driver est+distinct path must produce exactly the
     distributed estimate_filter -> distinct_pairs chain's verified
