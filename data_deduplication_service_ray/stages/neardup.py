@@ -314,14 +314,15 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
     return acc_multi, m
 
 
-#: Expand bucket pairs on the DRIVER while the filtered band table holds
-#: at most this many rows (16 B/row => ~320 MB pull): the expansion is
-#: one np.lexsort + vectorized upper-triangle gathers, while the
-#: distributed hash self-join pays ~10 s of shuffle on this host at any
-#: input size. Past the limit the Arrow C++ self-join runs — identical
-#: pair multiset either way (buckets are capped, so per-bucket expansion
-#: is bounded in both paths).
-DRIVER_PAIR_EXPAND_LIMIT = 20_000_000
+#: Expand bucket pairs on the DRIVER while the FILTERED (singleton-free)
+#: band table holds at most this many rows (16 B/row => ~512 MB pull):
+#: expansion fans out as bucket-aligned Ray tasks either way (sorted
+#: exact-weight slices below _DRIVER_SORT_LIMIT, hash partitions above),
+#: while the distributed hash self-join pays ~10 s of shuffle on this
+#: host at any input size. Past the limit the Arrow C++ self-join runs —
+#: identical pair multiset either way (buckets are capped, so per-bucket
+#: expansion is bounded in both paths).
+DRIVER_PAIR_EXPAND_LIMIT = 32_000_000
 
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
@@ -380,29 +381,6 @@ def _expand_hot_sorted(bhs: np.ndarray, fids: np.ndarray,
                      "b": pa.array(np.concatenate(bb)),
                      "capped": pa.array(np.ones(len(a_all),
                                                 dtype=bool))})
-
-
-def _sorted_arrays(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                    dtype=np.int64)
-    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    order = np.lexsort((fid, bh))
-    return bh[order], fid[order]
-
-
-def _expand_cold_driver(tbl: pa.Table) -> pa.Table:
-    """Sort + all-pairs bucket expansion (serial driver path)."""
-    if tbl.num_rows == 0:
-        return _EMPTY_PAIRS
-    return _expand_cold_sorted(*_sorted_arrays(tbl))
-
-
-def _expand_hot_driver(tbl: pa.Table, window: int) -> pa.Table:
-    """Sort + sorted-neighbor window expansion (serial driver path)."""
-    if tbl.num_rows == 0:
-        return _EMPTY_PAIRS
-    return _expand_hot_sorted(*_sorted_arrays(tbl), window)
 
 
 def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
@@ -486,45 +464,45 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     import ray as _ray
 
     bands = bands.materialize()
+    n_band_rows = bands.count()
+
+    # DISTRIBUTED singleton pre-filter, always first: the "seen >= 2"
+    # bitmap drops the singleton majority (unique docs produce unique
+    # band hashes) in a parallel scan. Exactness: every row of a key
+    # with global count >= 2 survives (no false negatives), so bucket
+    # sizes computed downstream are exact for surviving keys;
+    # bitmap-collision singletons form size-1 runs that the size >= 2
+    # cut drops anyway.
+    bitmap, m = _multi_occurrence_bitmap(bands, n_band_rows)
+    bm_handle = _ray.put(bitmap)
+    pre_mask = np.uint64(m - 1)
+
+    def keep_pairable(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bm = _ray.get(bm_handle)
+        h = np.asarray(
+            batch["band_hash"].to_numpy(zero_copy_only=False),
+            dtype=np.int64).view(np.uint64)
+        slots = (h & pre_mask).astype(np.int64)
+        keep = (bm[slots >> 3]
+                & (1 << (slots & 7)).astype(np.uint8)) != 0
+        return batch.filter(pa.array(keep))
+
+    pairable = bands.map_batches(keep_pairable, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    n_pairable = pairable.count()
 
     # ---- driver fast path: the whole bucket step from ONE pull -------
-    # A band table at 16 B/row fits the driver far beyond any corpus this
-    # box can host (20M rows = 320 MB); one lexsort gives EXACT bucket
-    # sizes, so hot detection needs no two-phase scan, singletons drop
-    # for free, and expansion is the same vectorized triu/window gather —
-    # replacing ~6 distributed passes + 2 shuffle aggregates whose fixed
-    # costs dominate at this size. Past the gate, the fully distributed
-    # path below (two-phase hot detection, bitmap semi-join reduction,
-    # Arrow C++ self-join) computes the identical pair multiset.
-    n_band_rows = bands.count()
-    if n_band_rows <= DRIVER_PAIR_EXPAND_LIMIT:
-        # DISTRIBUTED singleton pre-filter before the serial pull: the
-        # "seen >= 2" bitmap drops the singleton majority in a parallel
-        # scan, so the driver pulls/sorts only potentially-pairing rows
-        # (~20-30% of the band table). Exactness: every row of a key
-        # with global count >= 2 survives (no false negatives), so the
-        # bucket-run sizes computed below are exact for surviving keys;
-        # bitmap-collision singletons form size-1 runs that the
-        # size >= 2 cut drops anyway.
-        bitmap, m = _multi_occurrence_bitmap(bands, n_band_rows)
-        bm_handle = _ray.put(bitmap)
-        pre_mask = np.uint64(m - 1)
-
-        def keep_pairable(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch
-            bm = _ray.get(bm_handle)
-            h = np.asarray(
-                batch["band_hash"].to_numpy(zero_copy_only=False),
-                dtype=np.int64).view(np.uint64)
-            slots = (h & pre_mask).astype(np.int64)
-            keep = (bm[slots >> 3]
-                    & (1 << (slots & 7)).astype(np.uint8)) != 0
-            return batch.filter(pa.array(keep))
-
-        pairable = bands.map_batches(keep_pairable,
-                                     batch_format="pyarrow",
-                                     batch_size=None)
+    # The gate is on the FILTERED row count (the actual pull size): a
+    # pairable table at 16 B/row fits the driver far beyond any corpus
+    # this box can host (32M rows = 512 MB). Small pulls take one exact
+    # lexsort (EXACT bucket sizes, output-weight-balanced slices); large
+    # pulls take the hash-partitioned parallel expansion
+    # (_DRIVER_SORT_LIMIT). Past the gate, the fully distributed path
+    # below (two-phase hot detection on the filtered table, Arrow C++
+    # self-join) computes the identical pair multiset.
+    if n_pairable <= DRIVER_PAIR_EXPAND_LIMIT:
         batches = list(pairable.iter_batches(batch_format="pyarrow",
                                              batch_size=None))
         if not batches:
@@ -615,64 +593,38 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
         pairs = ray.data.from_arrow_refs(refs)
         return pairs if not distinct else distinct_pairs(pairs)
 
-    hot_keys = detect_hot_keys(bands, cap)
-    bitmap, m = _multi_occurrence_bitmap(bands, bands.count())
-    bm_handle = _ray.put(bitmap)
-    slot_mask = np.uint64(m - 1)
+    # ---- distributed fallback: pairable exceeds one driver pull ------
+    # Hot detection runs on the FILTERED table: a hot key has global
+    # count > cap >= 2, so the bitmap filter kept every one of its rows
+    # and the exact phase-2 counts are unchanged; bitmap-collision
+    # singletons have count 1 and can never test hot.
+    hot_keys = detect_hot_keys(pairable, cap)
     hot_arr = pa.array(hot_keys) if len(hot_keys) else None
 
     def split_cold(batch: pa.Table) -> pa.Table:
-        """Join input = not hot AND possibly-pairable (bitmap hit)."""
-        if batch.num_rows == 0:
+        """Join input = pairable minus hot keys."""
+        if batch.num_rows == 0 or hot_arr is None:
             return batch
-        bm = _ray.get(bm_handle)
-        h = np.asarray(batch["band_hash"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64).view(np.uint64)
-        slots = (h & slot_mask).astype(np.int64)
-        keep = (bm[slots >> 3]
-                & (1 << (slots & 7)).astype(np.uint8)) != 0
-        if hot_arr is not None:
-            keep &= np.asarray(
-                pc.invert(pc.is_in(batch["band_hash"],
-                                   value_set=hot_arr))
-                .to_numpy(zero_copy_only=False), dtype=bool)
-        return batch.filter(pa.array(keep))
+        return batch.filter(
+            pc.invert(pc.is_in(batch["band_hash"], value_set=hot_arr)))
 
-    # materialize both splits: the driver-expansion gate and the empty-
-    # side join guard (Ray 2.49's hash join raises ArrowInvalid on a
-    # fully EMPTY side, observed under extreme skew) both need counts
-    cold = bands.map_batches(
+    # materialize both splits: the empty-side join guard (Ray 2.49's
+    # hash join raises ArrowInvalid on a fully EMPTY side, observed
+    # under extreme skew) needs counts
+    cold = pairable.map_batches(
         split_cold, batch_format="pyarrow",
         batch_size=None).materialize()
-    n_cold = cold.count()
-    cold_empty = n_cold == 0
+    cold_empty = cold.count() == 0
     if hot_arr is not None:
         def split_hot(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch["band_hash"],
                                          value_set=hot_arr))
 
-        hot = bands.map_batches(
+        hot = pairable.map_batches(
             split_hot, batch_format="pyarrow",
             batch_size=None).materialize()
-        n_hot = hot.count()
     else:
-        hot, n_hot = None, 0
-
-    if n_cold + n_hot <= DRIVER_PAIR_EXPAND_LIMIT:
-        def _pull(ds: ray.data.Dataset) -> pa.Table:
-            batches = list(ds.iter_batches(batch_format="pyarrow",
-                                           batch_size=None))
-            return (pa.concat_tables(batches) if batches
-                    else pa.table({"band_hash": pa.array([], pa.int64()),
-                                   "file_id": pa.array([], pa.int64())}))
-
-        tabs = [_expand_cold_driver(_pull(cold))]
-        if hot is not None:
-            tabs.append(_expand_hot_driver(_pull(hot), window))
-        pairs = ray.data.from_arrow(pa.concat_tables(tabs))
-        if not distinct:
-            return pairs
-        return distinct_pairs(pairs)
+        hot = None
 
     def finish_cold(batch: pa.Table) -> pa.Table:
         keep = pc.less(batch["a"], batch["b"])
