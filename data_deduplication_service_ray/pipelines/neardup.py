@@ -279,15 +279,18 @@ class NearDupPipeline:
         return self._stage("signatures", build)
 
     def candidate_pairs(self) -> ray.data.Dataset:
-        """Per-band candidate-pair occurrences (see
-        ``stages.neardup.candidate_pairs(distinct=False)``); the
-        estimate-prefilter in ``verified_pairs`` consumes occurrences and
-        dedups only the survivors."""
+        """Estimate-filtered distinct candidate pairs when the fused
+        expand+estimate gates apply (``candidate_pairs_estimated`` —
+        schema a, b, n_bands, capped, est, hamming), else raw per-band
+        occurrences; ``verified_pairs`` dispatches on the schema (an
+        ``est`` column means prefiltered), which also survives
+        checkpoint resume where the build closure never runs."""
 
         def build() -> ray.data.Dataset:
             bands = neardup.band_rows(self.signatures(), self.cfg)
-            return neardup.candidate_pairs(bands, self.cfg,
-                                           distinct=False)
+            ds, _estimated = neardup.candidate_pairs_estimated(
+                bands, self.signatures(), self.cfg)
+            return ds
 
         # materialized: the bucket groupby and the survivor-dedup groupby
         # (inside verified_pairs) must not share one streaming graph —
@@ -296,12 +299,17 @@ class NearDupPipeline:
         return self._stage("candidate_pairs", build)
 
     def verified_pairs(self) -> ray.data.Dataset:
-        return self._stage(
-            "verified_pairs",
-            lambda: neardup.verify_pairs(self.candidate_pairs(),
-                                         self.representatives(), self.cfg,
-                                         sigs=self.signatures(),
-                                         occurrences=True))
+        def build() -> ray.data.Dataset:
+            cand = self.candidate_pairs()
+            if "est" in cand.schema().names:
+                return neardup.verify_pairs(
+                    cand, self.representatives(), self.cfg,
+                    prefiltered=True)
+            return neardup.verify_pairs(
+                cand, self.representatives(), self.cfg,
+                sigs=self.signatures(), occurrences=True)
+
+        return self._stage("verified_pairs", build)
 
     def near_edges(self) -> ray.data.Dataset:
         return neardup.duplicate_edges(self.verified_pairs(), self.cfg)

@@ -408,19 +408,67 @@ def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
 
 
 @ray.remote
-def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray, cap: int,
-                       window: int) -> pa.Table:
-    return _expand_sorted_slice(bhs, fids, cap, window)
+def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray,
+                       presorted: bool, cap: int, window: int,
+                       est_refs: tuple | None = None,
+                       cfg: PipelineConfig | None = None) -> pa.Table:
+    """Expand one slice of (band_hash, file_id) rows into candidate-pair
+    occurrences. A non-presorted slice holds WHOLE buckets (rows were
+    hash-partitioned by band_hash bits), so the task-local lexsort makes
+    bucket runs globally exact. With ``est_refs`` (object refs of the
+    broadcast sig8 arrays) the estimate prefilter runs IN the task:
+    occurrences collapse to locally-distinct surviving pairs before
+    anything returns to the object store — the raw occurrence table
+    (dozens of bytes x bands x corpus) never exists anywhere."""
+    if not presorted:
+        order = np.lexsort((fids, bhs))
+        bhs, fids = bhs[order], fids[order]
+    out = _expand_sorted_slice(bhs, fids, cap, window)
+    if est_refs is None:
+        return out
+    sids, smat, snsh, ssim = (ray.get(r) for r in est_refs)
+    a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(out["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    return _est_unique_score(a, b, cp, sids, smat, snsh, ssim, cfg,
+                             "n_bands")
 
 
-@ray.remote
-def _expand_hash_slice_task(bhs: np.ndarray, fids: np.ndarray, cap: int,
-                            window: int) -> pa.Table:
-    """Sort-then-expand one hash partition of (band_hash, file_id) rows.
-    The slice holds WHOLE buckets (rows were partitioned by band_hash
-    bits), so the local lexsort makes bucket runs globally exact."""
-    order = np.lexsort((fids, bhs))
-    return _expand_sorted_slice(bhs[order], fids[order], cap, window)
+def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
+    """Merge per-slice estimate survivors into globally distinct pairs.
+
+    A pair can surface in several slices (one per colliding band, and
+    bands of one pair land in different hash partitions), each carrying
+    a partial ``n_bands``; est/hamming are pure functions of the pair's
+    signatures so every copy agrees. Sum the partials, OR the capped
+    flags, keep one est/hamming. Output sorted by (a, b) —
+    deterministic regardless of slice order."""
+    tbl = pa.concat_tables(tables)
+    if tbl.num_rows == 0:
+        return tbl
+    a = np.asarray(tbl["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(tbl["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(new)
+    nb = np.asarray(tbl["n_bands"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)[order]
+    cp = np.asarray(tbl["capped"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)[order]
+    first = order[starts]
+    return pa.table({
+        "a": pa.array(a[starts]), "b": pa.array(b[starts]),
+        "n_bands": pa.array(np.add.reduceat(nb, starts)),
+        "capped": pa.array(np.add.reduceat(cp, starts) > 0),
+        "est": tbl["est"].take(first),
+        "hamming": tbl["hamming"].take(first)})
 
 
 #: Above this many pairable band rows the driver's global two-key sort
@@ -463,16 +511,63 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
 
     import ray as _ray
 
+    pairable, n_pairable = _pairable_bands(bands)
+
+    # ---- driver fast path: the whole bucket step from ONE pull -------
+    # The gate is on the FILTERED row count (the actual pull size): a
+    # pairable table at 16 B/row fits the driver far beyond any corpus
+    # this box can host (32M rows = 512 MB). Small pulls take one exact
+    # lexsort (EXACT bucket sizes, output-weight-balanced slices); large
+    # pulls take the hash-partitioned parallel expansion
+    # (_DRIVER_SORT_LIMIT). Past the gate, the fully distributed path
+    # below (two-phase hot detection on the filtered table, Arrow C++
+    # self-join) computes the identical pair multiset.
+    if n_pairable <= DRIVER_PAIR_EXPAND_LIMIT:
+        batches = list(pairable.iter_batches(batch_format="pyarrow",
+                                             batch_size=None))
+        if not batches:
+            pairs = ray.data.from_arrow(_EMPTY_PAIRS)
+            return pairs if not distinct else distinct_pairs(pairs)
+        tbl = pa.concat_tables(batches).combine_chunks()
+        slices, total_pairs = _driver_slices(tbl, cap, window, cfg)
+        if not slices:
+            pairs = ray.data.from_arrow(_EMPTY_PAIRS)
+            return pairs if not distinct else distinct_pairs(pairs)
+        if len(slices) == 1 and slices[0][2]:
+            pairs_tbl = _expand_sorted_slice(slices[0][0], slices[0][1],
+                                             cap, window)
+            if distinct and pairs_tbl.num_rows <= DRIVER_DISTINCT_LIMIT:
+                # fuse the distinct while the pairs are still in driver
+                # memory — no object-store round trip
+                return ray.data.from_arrow(
+                    _driver_distinct_table(pairs_tbl))
+            pairs = ray.data.from_arrow(pairs_tbl)
+            return pairs if not distinct else distinct_pairs(pairs)
+        refs = [_expand_slice_task.remote(bh, fi, ps, cap, window)
+                for bh, fi, ps in slices]
+        if (distinct and total_pairs is not None
+                and total_pairs <= DRIVER_DISTINCT_LIMIT):
+            return ray.data.from_arrow(_driver_distinct_table(
+                pa.concat_tables(_ray.get(refs))))
+        pairs = ray.data.from_arrow_refs(refs)
+        return pairs if not distinct else distinct_pairs(pairs)
+
+    return _distributed_candidates(pairable, cfg, nparts, distinct)
+
+
+def _pairable_bands(bands: ray.data.Dataset
+                    ) -> tuple[ray.data.Dataset, int]:
+    """Materialize the band table and apply the DISTRIBUTED singleton
+    pre-filter: the "seen >= 2" bitmap drops the singleton majority
+    (unique docs produce unique band hashes) in a parallel scan.
+    Exactness: every row of a key with global count >= 2 survives (no
+    false negatives), so bucket sizes computed downstream are exact for
+    surviving keys; bitmap-collision singletons form size-1 runs that
+    the size >= 2 cut drops anyway."""
+    import ray as _ray
+
     bands = bands.materialize()
     n_band_rows = bands.count()
-
-    # DISTRIBUTED singleton pre-filter, always first: the "seen >= 2"
-    # bitmap drops the singleton majority (unique docs produce unique
-    # band hashes) in a parallel scan. Exactness: every row of a key
-    # with global count >= 2 survives (no false negatives), so bucket
-    # sizes computed downstream are exact for surviving keys;
-    # bitmap-collision singletons form size-1 runs that the size >= 2
-    # cut drops anyway.
     bitmap, m = _multi_occurrence_bitmap(bands, n_band_rows)
     bm_handle = _ray.put(bitmap)
     pre_mask = np.uint64(m - 1)
@@ -491,107 +586,157 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
 
     pairable = bands.map_batches(keep_pairable, batch_format="pyarrow",
                                  batch_size=None).materialize()
-    n_pairable = pairable.count()
+    return pairable, pairable.count()
 
-    # ---- driver fast path: the whole bucket step from ONE pull -------
-    # The gate is on the FILTERED row count (the actual pull size): a
-    # pairable table at 16 B/row fits the driver far beyond any corpus
-    # this box can host (32M rows = 512 MB). Small pulls take one exact
-    # lexsort (EXACT bucket sizes, output-weight-balanced slices); large
-    # pulls take the hash-partitioned parallel expansion
-    # (_DRIVER_SORT_LIMIT). Past the gate, the fully distributed path
-    # below (two-phase hot detection on the filtered table, Arrow C++
-    # self-join) computes the identical pair multiset.
-    if n_pairable <= DRIVER_PAIR_EXPAND_LIMIT:
-        batches = list(pairable.iter_batches(batch_format="pyarrow",
-                                             batch_size=None))
-        if not batches:
-            pairs = ray.data.from_arrow(pa.table({
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "capped": pa.array([], pa.bool_())}))
-            return pairs if not distinct else distinct_pairs(pairs)
-        # PARALLEL expansion from a driver-held sorted index: the sort
-        # runs in Arrow C++ (multithreaded), run detection is one
-        # vectorized pass, and the O(sum s^2) pair expansion — the only
-        # part that grows faster than the row count, measured 6+ s
-        # serial at 320k files / 27M pairs — fans out as bucket-aligned
-        # Ray tasks whose outputs become dataset blocks directly (no
-        # serial expand, no driver-resident pair table). Slices are cut
-        # by EXACT per-bucket output size (s(s-1)/2 cold, s·w - w(w+1)/2
-        # hot), so blocks are balanced under bucket-size skew.
-        tbl = pa.concat_tables(batches).combine_chunks()
-        if tbl.num_rows > _DRIVER_SORT_LIMIT:
-            # parallel path: see _DRIVER_SORT_LIMIT. distinct_pairs has
-            # its own count-gated driver/distributed split, so no fused
-            # driver distinct here (total pair count is unknown until
-            # the tasks run).
-            bhs = np.asarray(
-                tbl["band_hash"].to_numpy(zero_copy_only=False),
-                dtype=np.int64)
-            fids = np.asarray(
-                tbl["file_id"].to_numpy(zero_copy_only=False),
-                dtype=np.int64)
-            part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(
-                np.int8)
-            order = np.argsort(part, kind="stable")  # int8 => radix
-            bhs_s, fids_s = bhs[order], fids[order]
-            offs = np.concatenate(([0], np.cumsum(
-                np.bincount(part, minlength=_HASH_EXPAND_PARTS))))
-            refs = [_expand_hash_slice_task.remote(
-                        bhs_s[lo:hi], fids_s[lo:hi], cap, window)
-                    for lo, hi in zip(offs[:-1], offs[1:]) if hi > lo]
-            pairs = ray.data.from_arrow_refs(refs)
-            return pairs if not distinct else distinct_pairs(pairs)
-        tbl = tbl.sort_by([("band_hash", "ascending"),
-                           ("file_id", "ascending")])
-        bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        fids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                          dtype=np.int64)
-        n = len(bhs)
-        new = np.ones(n, dtype=bool)
-        new[1:] = bhs[1:] != bhs[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, n))
-        w_hot = np.int64(window)
-        weights = np.where(
-            sizes > cap,
-            sizes * w_hot - (w_hot * (w_hot + 1)) // 2,
-            sizes * (sizes - 1) // 2)
-        weights[sizes < 2] = 0
-        total_pairs = int(weights.sum())
-        if total_pairs == 0:
-            pairs = ray.data.from_arrow(_EMPTY_PAIRS)
-            return pairs if not distinct else distinct_pairs(pairs)
-        n_slices = min(128, 4 * _pool_max(cfg),
-                       max(1, total_pairs // 200_000 + 1))
-        if n_slices <= 1:
-            pairs_tbl = _expand_sorted_slice(bhs, fids, cap, window)
-            if distinct and pairs_tbl.num_rows <= DRIVER_DISTINCT_LIMIT:
-                # fuse the distinct while the pairs are still in driver
-                # memory — no object-store round trip
-                return ray.data.from_arrow(
-                    _driver_distinct_table(pairs_tbl))
-            pairs = ray.data.from_arrow(pairs_tbl)
-            return pairs if not distinct else distinct_pairs(pairs)
-        cw = np.cumsum(weights)
-        targets = (np.arange(1, n_slices)
-                   * (total_pairs / n_slices)).astype(np.int64)
-        cut_buckets = np.unique(np.searchsorted(cw, targets,
-                                                side="left") + 1)
-        bucket_bounds = np.concatenate(
-            ([0], cut_buckets[cut_buckets < len(starts)], [len(starts)]))
-        row_bounds = np.append(starts, n)[bucket_bounds]
-        refs = [_expand_slice_task.remote(bhs[lo:hi], fids[lo:hi],
-                                          cap, window)
-                for lo, hi in zip(row_bounds[:-1], row_bounds[1:])
-                if hi > lo]
-        if distinct and total_pairs <= DRIVER_DISTINCT_LIMIT:
-            return ray.data.from_arrow(_driver_distinct_table(
-                pa.concat_tables(_ray.get(refs))))
-        pairs = ray.data.from_arrow_refs(refs)
-        return pairs if not distinct else distinct_pairs(pairs)
+
+def _driver_slices(tbl: pa.Table, cap: int, window: int,
+                   cfg: PipelineConfig
+                   ) -> tuple[list[tuple[np.ndarray, np.ndarray, bool]],
+                              int | None]:
+    """Plan parallel expansion of a pulled pairable table.
+
+    Returns (slices, total_pairs): each slice is (band_hashes, file_ids,
+    presorted) and always contains WHOLE buckets. Below
+    _DRIVER_SORT_LIMIT rows: one exact lexsort gives EXACT bucket sizes,
+    slices are cut by exact per-bucket output size (s(s-1)/2 cold,
+    s·w - w(w+1)/2 hot — balanced under bucket-size skew) and
+    total_pairs is exact. Above: rows are hash-partitioned by band_hash
+    low bits (splitmix-mixed => uniform) via one radix argsort of int8
+    partition ids — the only remaining serial work is O(n) — and each
+    task lexsorts its own slice (presorted=False, total_pairs=None)."""
+    if tbl.num_rows > _DRIVER_SORT_LIMIT:
+        bhs = np.asarray(
+            tbl["band_hash"].to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        fids = np.asarray(
+            tbl["file_id"].to_numpy(zero_copy_only=False),
+            dtype=np.int64)
+        part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(np.int8)
+        order = np.argsort(part, kind="stable")  # int8 => radix
+        bhs_s, fids_s = bhs[order], fids[order]
+        offs = np.concatenate(([0], np.cumsum(
+            np.bincount(part, minlength=_HASH_EXPAND_PARTS))))
+        return [(bhs_s[lo:hi], fids_s[lo:hi], False)
+                for lo, hi in zip(offs[:-1], offs[1:]) if hi > lo], None
+    tbl = tbl.sort_by([("band_hash", "ascending"),
+                       ("file_id", "ascending")])
+    bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    fids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    n = len(bhs)
+    new = np.ones(n, dtype=bool)
+    new[1:] = bhs[1:] != bhs[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    w_hot = np.int64(window)
+    weights = np.where(
+        sizes > cap,
+        sizes * w_hot - (w_hot * (w_hot + 1)) // 2,
+        sizes * (sizes - 1) // 2)
+    weights[sizes < 2] = 0
+    total_pairs = int(weights.sum())
+    if total_pairs == 0:
+        return [], 0
+    n_slices = min(128, 4 * _pool_max(cfg),
+                   max(1, total_pairs // 200_000 + 1))
+    if n_slices <= 1:
+        return [(bhs, fids, True)], total_pairs
+    cw = np.cumsum(weights)
+    targets = (np.arange(1, n_slices)
+               * (total_pairs / n_slices)).astype(np.int64)
+    cut_buckets = np.unique(np.searchsorted(cw, targets,
+                                            side="left") + 1)
+    bucket_bounds = np.concatenate(
+        ([0], cut_buckets[cut_buckets < len(starts)], [len(starts)]))
+    row_bounds = np.append(starts, n)[bucket_bounds]
+    return [(bhs[lo:hi], fids[lo:hi], True)
+            for lo, hi in zip(row_bounds[:-1], row_bounds[1:])
+            if hi > lo], total_pairs
+
+
+_EMPTY_EST = pa.table({
+    "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    "n_bands": pa.array([], pa.int64()),
+    "capped": pa.array([], pa.bool_()),
+    "est": pa.array([], pa.float64()),
+    "hamming": pa.array([], pa.int64())})
+
+
+def candidate_pairs_estimated(bands: ray.data.Dataset,
+                              sigs: ray.data.Dataset,
+                              cfg: PipelineConfig,
+                              num_partitions: int | None = None
+                              ) -> tuple[ray.data.Dataset, bool]:
+    """Fused LSH expansion + estimate prefilter + distinct.
+
+    When the signature table fits the broadcast gate and the filtered
+    band table fits one driver pull, the estimate prefilter runs INSIDE
+    the bucket-aligned expansion tasks (sig8 arrays shipped once via
+    ray.put, read zero-copy by every task): the raw per-band occurrence
+    table — dozens of bytes x bands x corpus, the near-dup pipeline's
+    single largest intermediate — never round-trips through the object
+    store, and the est map + distinct executions disappear. Per-slice
+    survivors are merged on the driver (survivor volume ∝ the duplicate
+    population, not the corpus). Returns (dataset, True) with
+    distinct-pair schema (a, b, n_bands, capped, est, hamming).
+
+    Outside the gates, falls back to the raw occurrence path and
+    returns (occurrences, False) — the caller runs the distributed
+    estimate chain (estimate_filter -> distinct_pairs) instead. The
+    fused/unfused outputs are pinned identical by
+    test_fused_candidates_match_distributed_chain."""
+    from ray.data.dataset import MaterializedDataset
+
+    nparts = num_partitions or join_parts(cfg)
+    n_sigs = (sigs.count()
+              if isinstance(sigs, MaterializedDataset) else None)
+    if n_sigs is None or n_sigs > BROADCAST_SIG_LIMIT:
+        return candidate_pairs(bands, cfg, nparts, distinct=False), False
+    pairable, n_pairable = _pairable_bands(bands)
+    if n_pairable > DRIVER_PAIR_EXPAND_LIMIT:
+        return _distributed_candidates(pairable, cfg, nparts,
+                                       False), False
+    cap, window = cfg.bucket_cap, cfg.bucket_window
+    batches = list(pairable.iter_batches(batch_format="pyarrow",
+                                         batch_size=None))
+    if not batches:
+        return ray.data.from_arrow(_EMPTY_EST), True
+    tbl = pa.concat_tables(batches).combine_chunks()
+    slices, _total = _driver_slices(tbl, cap, window, cfg)
+    if not slices:
+        return ray.data.from_arrow(_EMPTY_EST), True
+    sids, smat, snsh, ssim = _pull_sig8(sigs, cfg)
+    if len(slices) == 1 and slices[0][2]:
+        # single slice: expand + estimate inline (sig arrays are
+        # already driver-local — no put/get round trip)
+        out = _expand_sorted_slice(slices[0][0], slices[0][1], cap,
+                                   window)
+        a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(out["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
+                        dtype=bool)
+        merged = _est_unique_score(a, b, cp, sids, smat, snsh, ssim,
+                                   cfg, "n_bands")
+        return ray.data.from_arrow(merged), True
+    import ray as _ray
+
+    est_refs = tuple(_ray.put(x) for x in (sids, smat, snsh, ssim))
+    refs = [_expand_slice_task.remote(bh, fi, ps, cap, window,
+                                      est_refs, cfg)
+            for bh, fi, ps in slices]
+    merged = _merge_estimated(_ray.get(refs))
+    return ray.data.from_arrow(merged), True
+
+
+def _distributed_candidates(pairable: ray.data.Dataset,
+                            cfg: PipelineConfig, nparts: int,
+                            distinct: bool) -> ray.data.Dataset:
+    """Fully distributed bucket pairing over the singleton-filtered
+    band table (the path past every driver gate)."""
+    cap, window = cfg.bucket_cap, cfg.bucket_window
 
     # ---- distributed fallback: pairable exceeds one driver pull ------
     # Hot detection runs on the FILTERED table: a hot key has global
@@ -1139,7 +1284,8 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                  cfg: PipelineConfig,
                  sigs: ray.data.Dataset | None = None,
                  num_partitions: int | None = None,
-                 occurrences: bool = False) -> ray.data.Dataset:
+                 occurrences: bool = False,
+                 prefiltered: bool = False) -> ray.data.Dataset:
     """Score candidate pairs: estimate-prefilter (if signatures given),
     then attach both contents and compute exact Jaccard / Hamming /
     containment.
@@ -1149,9 +1295,15 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     the wide content column. ``occurrences=True`` marks per-band
     pair-occurrence input (``candidate_pairs(distinct=False)``): the
     surviving occurrences are deduped after the prefilter.
+    ``prefiltered=True`` marks input from ``candidate_pairs_estimated``
+    — already estimate-filtered AND distinct (schema a, b, n_bands,
+    capped, est, hamming), so this goes straight to content attach.
     """
     nparts = num_partitions or join_parts(cfg)
-    if sigs is not None:
+    if prefiltered:
+        pairs = pairs.repartition(4 * _pool_max(cfg),
+                                  shuffle=False).materialize()
+    elif sigs is not None:
         from ray.data.dataset import MaterializedDataset
 
         n_occ_rows = (pairs.count()

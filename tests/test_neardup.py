@@ -434,19 +434,46 @@ def test_hash_partition_expansion_matches_sorted(pipe, monkeypatch):
     assert d_base == d_sorted and len(d_base) > 0
 
 
-def test_fused_driver_estimate_matches_distributed(pipe, monkeypatch):
-    """The fused driver est+distinct path must produce exactly the
-    distributed estimate_filter -> distinct_pairs chain's verified
-    pairs."""
+def test_fused_candidates_match_distributed_chain(pipe, monkeypatch):
+    """The fused expand+estimate candidates (estimate runs inside the
+    expansion tasks) must produce exactly the verified pairs of the
+    deepest unfused chain: raw occurrences -> estimate_filter with its
+    hash-join fallback -> distributed distinct (BROADCAST_SIG_LIMIT=0
+    disables the candidate fusion and the sig broadcast;
+    DRIVER_EST_LIMIT=0 disables the driver est gate)."""
     from data_deduplication_service_ray.sources.readers import read_corpus
     from data_deduplication_service_ray.stages import neardup as nd
 
     fused = {(r["a"], r["b"], round(r["jaccard"], 12), r["n_bands"])
              for r in pipe.verified_pairs().take_all()}
     monkeypatch.setattr(nd, "DRIVER_EST_LIMIT", 0)
+    monkeypatch.setattr(nd, "BROADCAST_SIG_LIMIT", 0)
     again = NearDupPipeline(read_corpus(
         f"{pipe._corpus_dir}/corpus.parquet")
         if hasattr(pipe, "_corpus_dir") else pipe._raw, CFG)
     dist = {(r["a"], r["b"], round(r["jaccard"], 12), r["n_bands"])
             for r in again.verified_pairs().take_all()}
     assert fused == dist and len(fused) > 0
+
+
+def test_fused_multislice_merge_matches_single(pipe, monkeypatch):
+    """Forcing many expansion slices (hash-partition path, est inside
+    each task, driver merge of partial n_bands) must reproduce the
+    single-slice inline result exactly."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    bands = nd.band_rows(pipe.signatures(), CFG)
+    single, est1 = nd.candidate_pairs_estimated(
+        bands, pipe.signatures(), CFG)
+    assert est1
+    rows1 = {(r["a"], r["b"], r["n_bands"], r["capped"],
+              round(r["est"], 12), r["hamming"])
+             for r in single.take_all()}
+    monkeypatch.setattr(nd, "_DRIVER_SORT_LIMIT", 0)
+    multi, est2 = nd.candidate_pairs_estimated(
+        bands, pipe.signatures(), CFG)
+    assert est2
+    rows2 = {(r["a"], r["b"], r["n_bands"], r["capped"],
+              round(r["est"], 12), r["hamming"])
+             for r in multi.take_all()}
+    assert rows1 == rows2 and len(rows1) > 0
