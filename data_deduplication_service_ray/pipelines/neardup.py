@@ -266,14 +266,25 @@ class NearDupPipeline:
 
     def signatures(self) -> ray.data.Dataset:
         def build() -> ray.data.Dataset:
-            # split the (few, large) upstream blocks so the CPU-heavy
+            # split (few, large) upstream blocks so the CPU-heavy
             # signature stage gets FINE task granularity: blocks are
             # split by row count but document bytes are skewed, and at
             # 2 blocks/slot a straggler task (observed 1.7-8.8 s spread)
-            # idles half the wave — 8 blocks/slot packs around the skew
-            # (repartition without shuffle = block split, no movement)
-            reps = self.representatives().repartition(
-                8 * neardup._pool_max(self.cfg), shuffle=False)
+            # idles half the wave — 8 blocks/slot packs around the skew.
+            # ONLY when blocks are genuinely coarse: Ray 2.49 funnels
+            # even a shuffle=False repartition through a single serial
+            # RepartitionReduce task (measured 10.2 s for a 1.56 GB
+            # 128-block input that needed no splitting at all), so a
+            # well-partitioned input must skip it.
+            from ray.data.dataset import MaterializedDataset
+
+            reps = self.representatives()
+            target = 8 * neardup._pool_max(self.cfg)
+            # num_blocks() only exists on materialized datasets; a lazy
+            # input (checkpoint read-back) keeps the conservative split
+            if (not isinstance(reps, MaterializedDataset)
+                    or reps.num_blocks() < target // 2):
+                reps = reps.repartition(target, shuffle=False)
             return neardup.signatures(reps, self.cfg)
 
         return self._stage("signatures", build)

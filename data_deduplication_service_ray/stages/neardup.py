@@ -181,13 +181,16 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
                     num_blocks_hint: int = 64) -> np.ndarray:
     """Two-phase heavy-hitter detection for LSH bucket keys.
 
-    Phase 1 (vectorized, per block): the band table is first COALESCED to
-    B = min(num_blocks_hint, cap) blocks (shuffle-free repartition), then
-    Arrow ``group_by.count`` inside ``map_batches`` keeps keys whose
-    block-local count clears cap//B. With B <= cap the pigeonhole bound
-    is exact: a key with global count > cap over B blocks has some block
-    count >= cap//B + 1 > local_cut - 1, so NO globally-hot key can evade
-    phase 1 regardless of block layout — the hot set (and hence the
+    Phase 1 (vectorized, per batch): input blocks are BUNDLED into big
+    batches via ``batch_size`` (not repartition — its shuffle=False form
+    funnels the whole table through one serial RepartitionReduce task in
+    Ray 2.49) sized so at most B = min(num_blocks_hint, cap) batches
+    exist even with one short tail batch per task; Arrow
+    ``group_by.count`` per batch keeps keys whose batch-local count
+    clears cap//B. With B <= cap the pigeonhole bound is exact: a key
+    with global count > cap over B batches has some batch count
+    >= cap//B + 1 > local_cut - 1, so NO globally-hot key can evade
+    phase 1 regardless of layout — the hot set (and hence the
     emitted pair set) is layout/CPU-count independent, which the
     determinism contract requires. Phase 2: exact global count of the few
     surviving keys. Returns the sorted hot keys (exact count > cap).
@@ -203,6 +206,11 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
     """
     n_blocks = max(1, min(num_blocks_hint, cap))
     local_cut = max(2, cap // n_blocks)
+    # bundle to at most n_blocks//2 full batches; tails (at most one
+    # short batch per task) can at worst double that, keeping the
+    # pigeonhole bound's B <= n_blocks <= cap
+    n_rows = bands.count()
+    bundle = max(1, -(-n_rows // max(1, n_blocks // 2)))
 
     def local_heavy(batch: pa.Table) -> pa.Table:
         agg = batch.group_by("band_hash").aggregate([("file_id", "count")])
@@ -210,9 +218,8 @@ def detect_hot_keys(bands: ray.data.Dataset, cap: int,
                                 pa.scalar(local_cut))
         return agg.filter(mask).rename_columns(["band_hash", "cnt"])
 
-    heavy = (bands.repartition(n_blocks, shuffle=False)
-             .map_batches(local_heavy, batch_format="pyarrow",
-                          batch_size=None))
+    heavy = bands.map_batches(local_heavy, batch_format="pyarrow",
+                              batch_size=bundle)
     candidates = {r["band_hash"] for r in heavy.take_all()}
     if not candidates:
         return np.empty(0, dtype=np.int64)
@@ -273,12 +280,14 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
     Bitmap is sized ~4 bits/row (power of two, capped at 2^30 bits =
     128 MiB) => ~20% false-positive rate; block partials are OR-combined
     on the driver with an exact cross-block once&once -> multi rule
-    (order-independent, hence deterministic). The band table is
-    coalesced to ``scan_blocks`` blocks so partial bitmaps stay bounded
-    (scan_blocks x bitmap bytes through the object store). At 10^12-row
-    scale a flat bitmap stops fitting — shard the pass by key range
-    (the bitmap is indexed by key bits, so range shards are independent)
-    or raise the per-node block size.
+    (order-independent, hence deterministic). Input blocks are bundled
+    into ~``scan_blocks`` tasks via ``batch_size`` — bounding the
+    partial bitmaps through the object store at scan_blocks x bitmap
+    bytes — NOT via repartition, whose shuffle=False form funnels the
+    whole table through ONE serial RepartitionReduce task in Ray 2.49.
+    At 10^12-row scale a flat bitmap stops fitting — shard the pass by
+    key range (the bitmap is indexed by key bits, so range shards are
+    independent) or raise the per-node block size.
     """
     m_bits = max(20, min(30, int(np.ceil(np.log2(max(n_rows, 1) * 4)))))
     m = 1 << m_bits
@@ -300,8 +309,9 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
                          "multi": pa.array([multi.tobytes()],
                                            pa.binary())})
 
-    parts = bands.repartition(scan_blocks, shuffle=False).map_batches(
-        block_maps, batch_format="pyarrow", batch_size=None)
+    bundle = max(1, -(-n_rows // scan_blocks))
+    parts = bands.map_batches(
+        block_maps, batch_format="pyarrow", batch_size=bundle)
     acc_once = np.zeros(nbytes, dtype=np.uint8)
     acc_multi = np.zeros(nbytes, dtype=np.uint8)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
