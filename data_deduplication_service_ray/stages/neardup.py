@@ -993,11 +993,16 @@ def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
             .rename_columns({"file_id": "b", payload: f"{out_prefix}_b"}))
 
 
-#: Broadcast the signature table into est-filter tasks below this row
-#: count (128 perms × 8 B ≈ 1 KiB/row → ~1 GiB at the limit); above it,
-#: fall back to hash joins. At cluster scale the limit keeps the
-#: broadcast bounded regardless of corpus size.
-BROADCAST_SIG_LIMIT = 1_000_000
+#: Broadcast the signature table into est-filter / fused-expansion tasks
+#: below this row count. The broadcast ships the uint8 SLICES of the
+#: signatures (128 x u8 + n_shingles + simhash + id ≈ 152 B/row — the
+#: full u64 table never leaves the workers), so 4M rows ≈ 600 MB: put
+#: ONCE, mapped zero-copy by every task on the node (per-node copy on a
+#: cluster). Above it, fall back to hash joins. The estimate kernel's
+#: pair-key packing needs sig indices < 2^30 (ia<<33 in an int64), so
+#: the limit must stay below 2^30 rows. At cluster scale the limit keeps
+#: the broadcast bounded regardless of corpus size.
+BROADCAST_SIG_LIMIT = 4_000_000
 
 #: Fuse estimate-prefilter + distinct on the DRIVER while the raw
 #: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
@@ -1093,7 +1098,8 @@ def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
     # unique(+counts) covers pair dedup, occurrence counting AND
     # capped-any in a single pass — the return_inverse variant this
     # replaces runs argsort + an inverse scatter, measured ~6x slower
-    # at block scale. Both sig indices are < 2^20 (BROADCAST_SIG_LIMIT)
+    # at block scale. Both sig indices are < 2^30 (BROADCAST_SIG_LIMIT
+    # stays below that by contract — see its docstring)
     # so ia<<33 | ib<<1 | cp fits int64 and the unique order is still
     # (a, b, capped) lexicographic; merging the <=2 capped variants of
     # a pair below keeps output order (a, b) lexicographic as before.
