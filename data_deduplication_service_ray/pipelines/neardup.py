@@ -125,6 +125,23 @@ class NearDupPipeline:
     def normalized(self) -> ray.data.Dataset:
         return self._stage("normalized", lambda: self.docs, mat=False)
 
+    @staticmethod
+    def _sha_s64(col: pa.ChunkedArray) -> np.ndarray:
+        """Arrow hex-sha string column -> numpy S64, zero-copy when
+        every value is exactly 64 bytes (always true for sha256 hex —
+        the value buffer then IS a packed S64 array; the to_pylist
+        round trip this replaces cost 1.45 s at 1.28M rows)."""
+        arr = col.combine_chunks()
+        off_dt = (np.int64 if pa.types.is_large_string(arr.type)
+                  else np.int32)
+        offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+            arr.offset:arr.offset + len(arr) + 1]
+        if len(arr) and np.all(np.diff(offs) == 64):
+            # read-only view; .base holds the Arrow buffer alive
+            return np.frombuffer(arr.buffers()[2], dtype="S64",
+                                 count=len(arr), offset=int(offs[0]))
+        return np.array(arr.to_pylist(), dtype="S64")
+
     def sha_fid(self) -> ray.data.Dataset:
         """Materialized slim catalog (content_sha256, file_id) — ONE
         corpus scan + hash pass, reused by the exact grouping, the edge
@@ -150,8 +167,7 @@ class NearDupPipeline:
             if sf.count() <= DRIVER_GROUP_LIMIT:
                 tbl = pa.concat_tables(sf.iter_batches(
                     batch_format="pyarrow", batch_size=None))
-                shas = np.array(tbl["content_sha256"].to_pylist(),
-                                dtype="S64")
+                shas = self._sha_s64(tbl["content_sha256"])
                 fids = np.asarray(tbl["file_id"].to_numpy(
                     zero_copy_only=False), dtype=np.int64)
                 order = np.lexsort((fids, shas))
@@ -184,8 +200,7 @@ class NearDupPipeline:
             else:
                 tbl = pa.concat_tables(fg.iter_batches(
                     batch_format="pyarrow", batch_size=None))
-                shas = np.array(tbl["content_sha256"].to_pylist(),
-                                dtype="S64")
+                shas = self._sha_s64(tbl["content_sha256"])
                 reps = np.asarray(
                     tbl["file_id"].to_numpy(zero_copy_only=False),
                     dtype=np.int64)

@@ -1487,7 +1487,7 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
 
     The popcount verification broadcasts the (file_id, simhash) table
     only while it is under ``BROADCAST_SIG_LIMIT`` rows (16 B/row =>
-    ~16 MB at the limit); past it, fingerprints are attached via two
+    ~64 MB at the limit); past it, fingerprints are attached via two
     hash joins on int64 payloads (no packing needed) — the same
     count-gate + join-fallback contract as ``estimate_filter``.
     """
