@@ -316,8 +316,11 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
     acc_multi = np.zeros(nbytes, dtype=np.uint8)
     for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for i in range(b.num_rows):
-            o = np.frombuffer(b["once"][i].as_py(), dtype=np.uint8)
-            mlt = np.frombuffer(b["multi"][i].as_py(), dtype=np.uint8)
+            # as_buffer(): zero-copy view of the 2 x bitmap-sized blobs
+            # (as_py() copied ~2 GB per pass at 41M band rows)
+            o = np.frombuffer(b["once"][i].as_buffer(), dtype=np.uint8)
+            mlt = np.frombuffer(b["multi"][i].as_buffer(),
+                                dtype=np.uint8)
             acc_multi |= mlt
             acc_multi |= acc_once & o
             acc_once |= o
@@ -417,6 +420,24 @@ def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
     return pa.concat_tables(tabs)
 
 
+def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
+                           cap: int, window: int,
+                           est_refs: tuple | None,
+                           cfg: PipelineConfig | None) -> pa.Table:
+    out = _expand_sorted_slice(bhs, fids, cap, window)
+    if est_refs is None:
+        return out
+    sids, smat, snsh, ssim = (ray.get(r) for r in est_refs)
+    a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    b = np.asarray(out["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
+                    dtype=bool)
+    return _est_unique_score(a, b, cp, sids, smat, snsh, ssim, cfg,
+                             "n_bands")
+
+
 @ray.remote
 def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray,
                        presorted: bool, cap: int, window: int,
@@ -433,18 +454,46 @@ def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray,
     if not presorted:
         order = np.lexsort((fids, bhs))
         bhs, fids = bhs[order], fids[order]
-    out = _expand_sorted_slice(bhs, fids, cap, window)
-    if est_refs is None:
-        return out
-    sids, smat, snsh, ssim = (ray.get(r) for r in est_refs)
-    a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
-                   dtype=np.int64)
-    b = np.asarray(out["b"].to_numpy(zero_copy_only=False),
-                   dtype=np.int64)
-    cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
-                    dtype=bool)
-    return _est_unique_score(a, b, cp, sids, smat, snsh, ssim, cfg,
-                             "n_bands")
+    return _expand_maybe_estimate(bhs, fids, cap, window, est_refs, cfg)
+
+
+@ray.remote
+def _expand_partition_task(arr_refs: tuple, k: int, cap: int,
+                           window: int,
+                           est_refs: tuple | None = None,
+                           cfg: PipelineConfig | None = None) -> pa.Table:
+    """Extract hash partition ``k`` from the SHARED (band_hash, file_id,
+    partition) arrays — put into plasma once, mapped zero-copy by every
+    task — then sort+expand(+estimate) it. Moving the partition split
+    into the tasks removes the driver's stable argsort + two 216 MB
+    gathers (~3.4 s serial at 27M rows) and ships three object refs
+    instead of 128 sliced array pairs."""
+    bhs_all, fids_all, part = (ray.get(r) for r in arr_refs)
+    idx = np.flatnonzero(part == np.int8(k))
+    bhs, fids = bhs_all[idx], fids_all[idx]
+    order = np.lexsort((fids, bhs))
+    return _expand_maybe_estimate(bhs[order], fids[order], cap, window,
+                                  est_refs, cfg)
+
+
+def _partition_expand_refs(tbl: pa.Table, cap: int, window: int,
+                           est_refs: tuple | None,
+                           cfg: PipelineConfig | None) -> list:
+    """Fire one _expand_partition_task per non-empty hash partition of a
+    pulled pairable table (see _DRIVER_SORT_LIMIT); driver work is one
+    int8 mask pass + three puts."""
+    import ray as _ray
+
+    bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    fids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(np.int8)
+    counts = np.bincount(part, minlength=_HASH_EXPAND_PARTS)
+    arr_refs = tuple(_ray.put(x) for x in (bhs, fids, part))
+    return [_expand_partition_task.remote(arr_refs, int(k), cap, window,
+                                          est_refs, cfg)
+            for k in np.flatnonzero(counts)]
 
 
 def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
@@ -539,6 +588,10 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
             pairs = ray.data.from_arrow(_EMPTY_PAIRS)
             return pairs if not distinct else distinct_pairs(pairs)
         tbl = pa.concat_tables(batches).combine_chunks()
+        if tbl.num_rows > _DRIVER_SORT_LIMIT:
+            refs = _partition_expand_refs(tbl, cap, window, None, None)
+            pairs = ray.data.from_arrow_refs(refs)
+            return pairs if not distinct else distinct_pairs(pairs)
         slices, total_pairs = _driver_slices(tbl, cap, window, cfg)
         if not slices:
             pairs = ray.data.from_arrow(_EMPTY_PAIRS)
@@ -606,28 +659,12 @@ def _driver_slices(tbl: pa.Table, cap: int, window: int,
     """Plan parallel expansion of a pulled pairable table.
 
     Returns (slices, total_pairs): each slice is (band_hashes, file_ids,
-    presorted) and always contains WHOLE buckets. Below
-    _DRIVER_SORT_LIMIT rows: one exact lexsort gives EXACT bucket sizes,
-    slices are cut by exact per-bucket output size (s(s-1)/2 cold,
-    s·w - w(w+1)/2 hot — balanced under bucket-size skew) and
-    total_pairs is exact. Above: rows are hash-partitioned by band_hash
-    low bits (splitmix-mixed => uniform) via one radix argsort of int8
-    partition ids — the only remaining serial work is O(n) — and each
-    task lexsorts its own slice (presorted=False, total_pairs=None)."""
-    if tbl.num_rows > _DRIVER_SORT_LIMIT:
-        bhs = np.asarray(
-            tbl["band_hash"].to_numpy(zero_copy_only=False),
-            dtype=np.int64)
-        fids = np.asarray(
-            tbl["file_id"].to_numpy(zero_copy_only=False),
-            dtype=np.int64)
-        part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(np.int8)
-        order = np.argsort(part, kind="stable")  # int8 => radix
-        bhs_s, fids_s = bhs[order], fids[order]
-        offs = np.concatenate(([0], np.cumsum(
-            np.bincount(part, minlength=_HASH_EXPAND_PARTS))))
-        return [(bhs_s[lo:hi], fids_s[lo:hi], False)
-                for lo, hi in zip(offs[:-1], offs[1:]) if hi > lo], None
+    presorted) and always contains WHOLE buckets. One exact lexsort
+    gives EXACT bucket sizes; slices are cut by exact per-bucket output
+    size (s(s-1)/2 cold, s·w - w(w+1)/2 hot — balanced under
+    bucket-size skew) and total_pairs is exact. Callers route tables
+    above _DRIVER_SORT_LIMIT to ``_partition_expand_refs`` instead
+    (hash partitions, task-side sorts, no driver sort at all)."""
     tbl = tbl.sort_by([("band_hash", "ascending"),
                        ("file_id", "ascending")])
     bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
@@ -713,6 +750,13 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
     if not batches:
         return ray.data.from_arrow(_EMPTY_EST), True
     tbl = pa.concat_tables(batches).combine_chunks()
+    if tbl.num_rows > _DRIVER_SORT_LIMIT:
+        import ray as _ray
+
+        est_refs = tuple(_ray.put(x) for x in _pull_sig8(sigs, cfg))
+        refs = _partition_expand_refs(tbl, cap, window, est_refs, cfg)
+        merged = _merge_estimated(_ray.get(refs))
+        return ray.data.from_arrow(merged), True
     slices, _total = _driver_slices(tbl, cap, window, cfg)
     if not slices:
         return ray.data.from_arrow(_EMPTY_EST), True
