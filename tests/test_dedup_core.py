@@ -180,3 +180,23 @@ def test_ingest_latency_matches_recipe():
             keep_data=False).take_all())
     assert {r["file_id"]: r["n_segments"] for r in rows} == dict(
         recipe_counts)
+
+
+def test_sha_s64_zero_copy_and_fallback():
+    """The zero-copy S64 view must equal the to_pylist conversion for
+    uniform 64-char sha columns, and fall back safely when lengths vary
+    (the guard condition, not an expected production shape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+
+    shas = ["%064x" % (i * 7919) for i in range(100)]
+    col = pa.chunked_array([shas[:40], shas[40:]], pa.string())
+    got = NearDupPipeline._sha_s64(col)
+    assert np.array_equal(got, np.array(shas, dtype="S64"))
+    ragged = pa.chunked_array([["ab", "c" * 64, ""]], pa.string())
+    got2 = NearDupPipeline._sha_s64(ragged)
+    assert np.array_equal(got2, np.array(["ab", "c" * 64, ""],
+                                         dtype="S64"))
