@@ -702,6 +702,21 @@ def _driver_slices(tbl: pa.Table, cap: int, window: int,
             if hi > lo], total_pairs
 
 
+def _est_blocks(merged: pa.Table, cfg: PipelineConfig) -> ray.data.Dataset:
+    """Survivor table -> multi-block dataset sliced on the driver, so
+    the content-attach + verify maps get task parallelism without a
+    repartition execution (from_arrow with a table list creates the
+    blocks directly; a 1-block dataset would serialize the verify map,
+    and repartition costs an executor spin-up)."""
+    n = merged.num_rows
+    k = min(4 * _pool_max(cfg), max(1, n // 2000 + 1))
+    step = -(-n // k) if n else 1
+    if n == 0 or k <= 1:
+        return ray.data.from_arrow(merged)
+    return ray.data.from_arrow(
+        [merged.slice(i, step) for i in range(0, n, step)])
+
+
 _EMPTY_EST = pa.table({
     "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
     "n_bands": pa.array([], pa.int64()),
@@ -756,7 +771,7 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
         est_refs = tuple(_ray.put(x) for x in _pull_sig8(sigs, cfg))
         refs = _partition_expand_refs(tbl, cap, window, est_refs, cfg)
         merged = _merge_estimated(_ray.get(refs))
-        return ray.data.from_arrow(merged), True
+        return _est_blocks(merged, cfg), True
     slices, _total = _driver_slices(tbl, cap, window, cfg)
     if not slices:
         return ray.data.from_arrow(_EMPTY_EST), True
@@ -774,7 +789,7 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
                         dtype=bool)
         merged = _est_unique_score(a, b, cp, sids, smat, snsh, ssim,
                                    cfg, "n_bands")
-        return ray.data.from_arrow(merged), True
+        return _est_blocks(merged, cfg), True
     import ray as _ray
 
     est_refs = tuple(_ray.put(x) for x in (sids, smat, snsh, ssim))
@@ -782,7 +797,7 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
                                       est_refs, cfg)
             for bh, fi, ps in slices]
     merged = _merge_estimated(_ray.get(refs))
-    return ray.data.from_arrow(merged), True
+    return _est_blocks(merged, cfg), True
 
 
 def _distributed_candidates(pairable: ray.data.Dataset,
@@ -1361,8 +1376,15 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     """
     nparts = num_partitions or join_parts(cfg)
     if prefiltered:
-        pairs = pairs.repartition(4 * _pool_max(cfg),
-                                  shuffle=False).materialize()
+        from ray.data.dataset import MaterializedDataset
+
+        target = 4 * _pool_max(cfg)
+        # candidate_pairs_estimated pre-slices its survivors into
+        # blocks (_est_blocks); only re-split coarse inputs (e.g. a
+        # 1-block checkpoint read-back)
+        if not (isinstance(pairs, MaterializedDataset)
+                and pairs.num_blocks() >= min(4, target)):
+            pairs = pairs.repartition(target, shuffle=False).materialize()
     elif sigs is not None:
         from ray.data.dataset import MaterializedDataset
 
