@@ -32,12 +32,27 @@ _KGRAM_MULT = (np.random.default_rng(0xD5ED0).integers(
     1, 1 << 63, size=64, dtype=np.uint64) << U64(1)) | U64(1)
 
 
+_SM_S30, _SM_S27, _SM_S31 = U64(30), U64(27), U64(31)
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer: uniform 64-bit mixing."""
-    z = (x + _SM_GAMMA) & _MASK64
-    z = ((z ^ (z >> U64(30))) * _SM_C1) & _MASK64
-    z = ((z ^ (z >> U64(27))) * _SM_C2) & _MASK64
-    return z ^ (z >> U64(31))
+    """Vectorized splitmix64 finalizer: uniform 64-bit mixing.
+
+    Callers pass uint64 (wrap-around is the native semantics, no mask
+    needed). Two buffers total via out= ops — the expression form
+    allocated ~10 temporaries per call, and at 32 concurrent workers
+    that allocation traffic contends on the shared memory bus (the
+    signature stage is bandwidth-bound at high CPU counts)."""
+    z = x + _SM_GAMMA                       # uint64 wraps
+    t = np.right_shift(z, _SM_S30)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM_C1, out=z)
+    np.right_shift(z, _SM_S27, out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM_C2, out=z)
+    np.right_shift(z, _SM_S31, out=t)
+    np.bitwise_xor(z, t, out=z)
+    return z
 
 
 def kgram_hashes(data: bytes, k: int) -> np.ndarray:
@@ -62,7 +77,10 @@ def kgram_hashes(data: bytes, k: int) -> np.ndarray:
     acc = np.zeros(m, dtype=np.uint64)
     b64 = b.astype(np.uint64)
     for j in range(k):
-        acc = (acc * _KGRAM_MULT[j % 64] + b64[j:j + m]) & _MASK64
+        # in-place horner round (uint64 wraps; the expression form
+        # allocated 3 temporaries per round)
+        np.multiply(acc, _KGRAM_MULT[j % 64], out=acc)
+        np.add(acc, b64[j:j + m], out=acc)
     return splitmix64(acc)
 
 

@@ -195,6 +195,10 @@ _BYTE_BITS = np.unpackbits(
     bitorder="little").astype(np.int64)
 _BYTE_POS_OFF = (np.arange(8, dtype=np.int64) * 256)[None, :]
 
+#: per-process scratch for the per-doc simhash key matrix (workers run
+#: one task at a time; grown to the largest document seen)
+_SIMHASH_KEY_SCRATCH = np.empty((0, 8), dtype=np.int64)
+
 
 def simhash64_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
     """SimHash-64 for a whole batch at once: uint64[n_docs].
@@ -224,12 +228,20 @@ def simhash64_batch(shingle_sets: list[np.ndarray]) -> np.ndarray:
         return out
     bitcols = np.arange(64, dtype=np.uint64)[None, :]
     if total >= 384 * n_docs:
+        global _SIMHASH_KEY_SCRATCH
         nz = np.flatnonzero(lens)
         counts = np.empty((len(nz), 64), dtype=np.int64)
         for i, d in enumerate(nz):
             mixed = splitmix64(shingle_sets[d] ^ _SIMHASH_SEED)
-            key = (mixed.view(np.uint8).reshape(-1, 8).astype(np.int64)
-                   + _BYTE_POS_OFF)
+            n = len(mixed)
+            # reused per-process scratch: a fresh (n, 8) int64 key was
+            # ~320 KB/doc — past glibc's mmap threshold, so every doc
+            # paid mmap+page-zeroing, which serializes across workers
+            if _SIMHASH_KEY_SCRATCH.shape[0] < n:
+                _SIMHASH_KEY_SCRATCH = np.empty((n, 8), dtype=np.int64)
+            key = _SIMHASH_KEY_SCRATCH[:n]
+            key[:] = mixed.view(np.uint8).reshape(-1, 8)
+            key += _BYTE_POS_OFF
             hist = np.bincount(key.ravel(), minlength=2048)
             counts[i] = (hist.reshape(8, 256) @ _BYTE_BITS).ravel()
         maj = (counts * 2 >= lens[nz, None]).astype(np.uint64)
