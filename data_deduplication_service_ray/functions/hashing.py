@@ -143,15 +143,23 @@ def combine_rows_u64(mat: np.ndarray) -> np.ndarray:
 
 
 def stable_id64(*parts: str) -> int:
-    """Deterministic signed-int64 id from string parts (NUL-joined).
+    """Deterministic signed-int64 id from string parts (length-prefixed).
 
     Replaces the reference's Postgres ``serial`` file_id
     (lib/dbManager.cpp:572-581) with a coordination-free content-derived id
-    so id assignment needs no global counter on a cluster. Collision
-    probability ~ n^2 / 2^63 — negligible below ~10^8 rows per namespace;
-    at larger scale widen to 128 bits.
+    so id assignment needs no global counter on a cluster. Each part is
+    length-prefixed (4-byte big-endian) before hashing, which makes the
+    encoding injective for ANY part content — a plain separator join is
+    not when a part may contain the separator (hypothesis found
+    ``('', '\\x00')`` vs ``('\\x00', '')`` colliding under NUL-join).
+    Collision probability ~ n^2 / 2^63 — negligible below ~10^8 rows per
+    namespace; at larger scale widen to 128 bits.
     """
-    h = hashlib.blake2b("\x00".join(parts).encode("utf-8"), digest_size=8)
+    h = hashlib.blake2b(digest_size=8)
+    for p in parts:
+        b = p.encode("utf-8")
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
     v = int.from_bytes(h.digest(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
