@@ -54,6 +54,121 @@ REP_BROADCAST_LIMIT = 20_000_000
 #: a driver reduce at this size. Past it, the distributed groupby runs.
 DRIVER_GROUP_LIMIT = 5_000_000
 
+#: Between this and DRIVER_GROUP_LIMIT rows, the exact grouping runs as
+#: sha-prefix-partitioned Ray tasks over the catalog's block refs (each
+#: task binary-searches its prefix range out of the sha-sorted blocks,
+#: zero-copy) instead of one driver lexsort: the driver sort was a flat
+#: ~0.7 s serial section that capped the exact-layer scaling ratio.
+#: The tasks also emit the member→rep edges, so the sha→rep broadcast
+#: disappears on this path. Below the limit the driver sort is cheaper
+#: than task dispatch.
+TASK_GROUP_LIMIT = 100_000
+
+
+def _sha_s64(col: pa.ChunkedArray) -> np.ndarray:
+    """Arrow hex-sha string column -> numpy S64, zero-copy when every
+    value is exactly 64 bytes (always true for sha256 hex — the value
+    buffer then IS a packed S64 array; the to_pylist round trip this
+    replaces cost 1.45 s at 1.28M rows)."""
+    arr = col.combine_chunks()
+    off_dt = (np.int64 if pa.types.is_large_string(arr.type)
+              else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset:arr.offset + len(arr) + 1]
+    if len(arr) and np.all(np.diff(offs) == 64):
+        # read-only view; .base holds the Arrow buffer alive
+        return np.frombuffer(arr.buffers()[2], dtype="S64",
+                             count=len(arr), offset=int(offs[0]))
+    return np.array(arr.to_pylist(), dtype="S64")
+
+
+#: hex prefix combos in ascending byte order ('0'..'9' < 'a'..'f', so
+#: %02x formatting order IS S64 sort order)
+_HEX2 = [f"{i:02x}" for i in range(256)]
+
+
+def _sha_range_bounds(k: int, nparts: int) -> tuple[bytes, bytes | None]:
+    """[lo, hi) S64 boundary strings of sha-prefix partition ``k``: the
+    256 two-hex-char prefixes are split into ``nparts`` contiguous
+    ranges (uniform — sha256 hex prefixes are equidistributed)."""
+    lo = (_HEX2[k * 256 // nparts] + "0" * 62).encode()
+    nxt = (k + 1) * 256 // nparts
+    hi = None if nxt >= 256 else (_HEX2[nxt] + "0" * 62).encode()
+    return lo, hi
+
+
+@ray.remote
+def _sort_catalog_block_task(tbl: pa.Table) -> pa.Table:
+    """Sort one slim-catalog block by sha and return it as a
+    SINGLE-CHUNK table. Sorting inside a Ray Data map does NOT survive:
+    the executor bundles consecutive map outputs into one block by
+    concatenation (observed: 2-chunk blocks, each chunk sorted, the
+    block not), so range extraction must binary-search tables whose
+    construction this code controls."""
+    s = _sha_s64(tbl["content_sha256"])
+    return tbl.take(pa.array(np.argsort(s))).combine_chunks()
+
+
+@ray.remote(num_returns=2)
+def _exact_group_task(block_refs: list, k: int, nparts: int
+                      ) -> tuple[pa.Table, pa.Table]:
+    """Exact-dedup groups + member→rep edges for sha-prefix partition
+    ``k`` of the slim catalog.
+
+    Blocks are sha-sorted single-chunk tables
+    (``_sort_catalog_block_task``), so the partition's rows come out of
+    each block as ONE binary search + zero-copy slice — total
+    extraction traffic across all tasks is one pass over the catalog,
+    not nparts passes. Groups within a partition are globally exact (a
+    sha lives entirely in one prefix range); concatenating task outputs
+    in partition order yields a globally sha-sorted group table with no
+    driver sort at all (the reference's global upsert-merge A2,
+    lib/dbManager.cpp:274-281, re-expressed as range-partitioned
+    reduces)."""
+    lo, hi = _sha_range_bounds(k, nparts)
+    lo_a = np.array([lo], dtype="S64")
+    hi_a = None if hi is None else np.array([hi], dtype="S64")
+    ss_l, ff_l = [], []
+    for ref in block_refs:
+        t = ray.get(ref)
+        s = _sha_s64(t["content_sha256"])
+        i0 = int(np.searchsorted(s, lo_a)[0])
+        i1 = len(s) if hi_a is None else int(np.searchsorted(s, hi_a)[0])
+        if i1 > i0:
+            ss_l.append(s[i0:i1])
+            ff_l.append(np.asarray(t["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)[i0:i1])
+    empty_groups = pa.table({
+        "content_sha256": pa.array([], pa.string()),
+        "file_id": pa.array([], pa.int64()),
+        "dup_count": pa.array([], pa.int64())})
+    empty_edges = pa.table({"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())})
+    if not ss_l:
+        return empty_groups, empty_edges
+    ss = np.concatenate(ss_l)
+    ff = np.concatenate(ff_l)
+    order = np.lexsort((ff, ss))
+    ss, ff = ss[order], ff[order]
+    new = np.ones(len(ss), dtype=bool)
+    if len(ss) > 1:
+        new[1:] = ss[1:] != ss[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(ss)))
+    groups = pa.table({
+        "content_sha256": pa.array(ss[starts].astype("U64")),
+        "file_id": pa.array(ff[starts]),
+        "dup_count": pa.array(counts.astype(np.int64))})
+    # member→rep edges: the first fid of each run is the rep (min —
+    # fid-sorted within sha); every other run member gets one edge
+    reps_per_row = ff[starts][np.cumsum(new) - 1]
+    member = np.ones(len(ff), dtype=bool)
+    member[starts] = False
+    if not member.any():
+        return groups, empty_edges
+    return groups, pa.table({"a": pa.array(reps_per_row[member]),
+                             "b": pa.array(ff[member])})
+
 
 def _edges_from_rep_groups(groups: ray.data.Dataset) -> ray.data.Dataset:
     """member→rep edge expansion from a fused rep_groups output (the
@@ -125,22 +240,7 @@ class NearDupPipeline:
     def normalized(self) -> ray.data.Dataset:
         return self._stage("normalized", lambda: self.docs, mat=False)
 
-    @staticmethod
-    def _sha_s64(col: pa.ChunkedArray) -> np.ndarray:
-        """Arrow hex-sha string column -> numpy S64, zero-copy when
-        every value is exactly 64 bytes (always true for sha256 hex —
-        the value buffer then IS a packed S64 array; the to_pylist
-        round trip this replaces cost 1.45 s at 1.28M rows)."""
-        arr = col.combine_chunks()
-        off_dt = (np.int64 if pa.types.is_large_string(arr.type)
-                  else np.int32)
-        offs = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
-            arr.offset:arr.offset + len(arr) + 1]
-        if len(arr) and np.all(np.diff(offs) == 64):
-            # read-only view; .base holds the Arrow buffer alive
-            return np.frombuffer(arr.buffers()[2], dtype="S64",
-                                 count=len(arr), offset=int(offs[0]))
-        return np.array(arr.to_pylist(), dtype="S64")
+    _sha_s64 = staticmethod(_sha_s64)
 
     def sha_fid(self) -> ray.data.Dataset:
         """Materialized slim catalog (content_sha256, file_id) — ONE
@@ -164,7 +264,8 @@ class NearDupPipeline:
 
         def build() -> ray.data.Dataset:
             sf = self.sha_fid()
-            if sf.count() <= DRIVER_GROUP_LIMIT:
+            n = sf.count()
+            if n <= TASK_GROUP_LIMIT:
                 tbl = pa.concat_tables(sf.iter_batches(
                     batch_format="pyarrow", batch_size=None))
                 shas = self._sha_s64(tbl["content_sha256"])
@@ -181,6 +282,26 @@ class NearDupPipeline:
                     "content_sha256": pa.array(ss[starts].astype("U64")),
                     "file_id": pa.array(ff[starts]),
                     "dup_count": pa.array(counts.astype(np.int64))}))
+            if n <= DRIVER_GROUP_LIMIT:
+                # sha-prefix-partitioned group+edge tasks over the
+                # catalog's block refs (zero driver bytes; see
+                # TASK_GROUP_LIMIT). Partition count is sized to the
+                # cluster; the output row set and order are partition-
+                # count independent (ranges are contiguous in sha order)
+                import ray as _ray
+
+                refs = [_sort_catalog_block_task.remote(r)
+                        for r in sf.to_arrow_refs()]
+                try:
+                    cpus = int(_ray.cluster_resources().get("CPU", 8))
+                except Exception:
+                    cpus = 8
+                nparts = min(64, max(8, 2 * cpus))
+                outs = [_exact_group_task.remote(refs, k, nparts)
+                        for k in range(nparts)]
+                self._exact_group_refs = [g for g, _e in outs]
+                self._exact_edge_refs = [e for _g, e in outs]
+                return ray.data.from_arrow_refs(self._exact_group_refs)
             from ray.data.aggregate import Count, Min
 
             return sf.groupby("content_sha256").aggregate(
@@ -188,6 +309,24 @@ class NearDupPipeline:
                 Count(alias_name="dup_count"))
 
         return self._stage("file_groups", build)
+
+    def _rep_ids(self) -> np.ndarray | None:
+        """Sorted representative file_ids for the broadcast id-filter;
+        None when the group map exceeds the broadcast gate. On the
+        task-partitioned path this pulls ONLY the int64 id column from
+        the group tasks' outputs (zero-copy plasma reads, ~8 B/group)
+        instead of the full sha→rep map."""
+        self.file_groups()
+        refs = getattr(self, "_exact_group_refs", None)
+        if refs is not None:
+            import ray as _ray
+
+            cols = [np.asarray(_ray.get(r)["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64) for r in refs]
+            return np.sort(np.concatenate(cols)) if cols else (
+                np.empty(0, dtype=np.int64))
+        gm = self._group_map()
+        return None if gm is None else np.sort(gm[1])
 
     def _group_map(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Driver copy of (sorted sha:S64, rep file_id) while the group
@@ -221,13 +360,12 @@ class NearDupPipeline:
         the groupby exactly once)."""
 
         def build() -> ray.data.Dataset:
-            gm = self._group_map()
-            if gm is None:
+            rep_ids = self._rep_ids()
+            if rep_ids is None:
                 return exact.rep_groups(self.normalized()).select_columns(
                     ["file_id", "content"])
             import ray as _ray
 
-            rep_ids = np.sort(gm[1])
             handle = _ray.put(rep_ids)
 
             def keep(batch: pa.Table) -> pa.Table:
@@ -250,6 +388,12 @@ class NearDupPipeline:
         rep_groups expansion past the broadcast gate."""
 
         def build() -> ray.data.Dataset:
+            self.file_groups()
+            edge_refs = getattr(self, "_exact_edge_refs", None)
+            if edge_refs is not None:
+                # edges were computed inside the exact group tasks —
+                # no sha→rep broadcast, no second catalog pass
+                return ray.data.from_arrow_refs(edge_refs)
             gm = self._group_map()
             if gm is None:
                 return _edges_from_rep_groups(

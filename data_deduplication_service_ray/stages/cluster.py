@@ -25,8 +25,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Min
 
-from data_deduplication_service_ray.functions.unionfind import UnionFind
-
 
 def _symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
     """(a,b) edge list -> (src,dst) with both directions."""
@@ -91,29 +89,57 @@ def cluster_label_propagation(edges: ray.data.Dataset,
 
 
 def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Edges -> labels via one streamed union-find (small-edge-set path).
+    """Edges -> labels via one vectorized connected-components pass
+    (small-edge-set path).
 
-    Iterates edge batches (never materializes more than a batch at once)
-    into a local union-find. Valid when the post-verification edge set
-    fits one process — the common case, since verified duplicate pairs
-    are a tiny fraction of the corpus; for larger edge sets use
-    ``cluster_label_propagation``.
+    Streams edge batches into numpy arrays, then runs min-label hooking
+    + pointer jumping over a dense index remap (Shiloach–Vishkin shape:
+    O(E · log diameter) vectorized rounds — duplicate clusters are
+    near-cliques, so the diameter is tiny). Replaces the per-edge Python
+    ``UnionFind`` loop (~µs/edge of interpreter time on the driver; the
+    :class:`~...functions.unionfind.UnionFind` class remains the
+    reference implementation the equivalence test checks against).
+    Valid when the post-verification edge set fits one process — the
+    common case, since verified duplicate pairs are a tiny fraction of
+    the corpus; for larger edge sets use ``cluster_label_propagation``.
     """
-    uf = UnionFind()
-    for batch in edges.iter_batches(batch_format="pyarrow"):
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            uf.union(int(a), int(b))
-    lab = uf.labels()
-    if not lab:
-        return ray.data.from_arrow(pa.table({
-            "file_id": pa.array([], pa.int64()),
-            "cluster_id": pa.array([], pa.int64())}))
-    nodes = np.fromiter(lab.keys(), dtype=np.int64, count=len(lab))
-    labels = np.fromiter(lab.values(), dtype=np.int64, count=len(lab))
-    order = np.argsort(nodes)
+    a_l, b_l = [], []
+    for batch in edges.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+        a_l.append(np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64))
+        b_l.append(np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                              dtype=np.int64))
+    empty = pa.table({"file_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if not a_l:
+        return ray.data.from_arrow(empty)
+    a = np.concatenate(a_l)
+    b = np.concatenate(b_l)
+    if len(a) == 0:
+        return ray.data.from_arrow(empty)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[:len(a)], inv[len(a):]
+    # parent[i] = current min-known component member index; nodes are
+    # sorted, so index order == id order and the fixpoint parent is the
+    # component's min member (the deterministic label contract)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        pa_, pb_ = parent[ea], parent[eb]
+        lo = np.minimum(pa_, pb_)
+        hi = np.maximum(pa_, pb_)
+        hook = lo < parent[hi]
+        if not hook.any():
+            break
+        np.minimum.at(parent, hi[hook], lo[hook])
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
     return ray.data.from_arrow(pa.table({
-        "file_id": pa.array(nodes[order]),
-        "cluster_id": pa.array(labels[order])}))
+        "file_id": pa.array(nodes),
+        "cluster_id": pa.array(nodes[parent])}))
 
 
 #: Broadcast the label table into the attach step below this row count

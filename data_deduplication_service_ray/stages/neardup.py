@@ -422,12 +422,16 @@ def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
 
 def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
                            cap: int, window: int,
-                           est_refs: tuple | None,
+                           est: tuple | None,
                            cfg: PipelineConfig | None) -> pa.Table:
+    """``est`` is the resolved sig8 array tuple — callers pass the
+    ``_sig8_ref`` ObjectRef as a TOP-LEVEL task argument, which Ray
+    dereferences zero-copy before the task body runs (and makes the
+    expansion tasks wait on the merge task automatically)."""
     out = _expand_sorted_slice(bhs, fids, cap, window)
-    if est_refs is None:
+    if est is None:
         return out
-    sids, smat, snsh, ssim = (ray.get(r) for r in est_refs)
+    sids, smat, snsh, ssim = est
     a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
                    dtype=np.int64)
     b = np.asarray(out["b"].to_numpy(zero_copy_only=False),
@@ -441,59 +445,108 @@ def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
 @ray.remote
 def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray,
                        presorted: bool, cap: int, window: int,
-                       est_refs: tuple | None = None,
+                       est: tuple | None = None,
                        cfg: PipelineConfig | None = None) -> pa.Table:
     """Expand one slice of (band_hash, file_id) rows into candidate-pair
-    occurrences. A non-presorted slice holds WHOLE buckets (rows were
-    hash-partitioned by band_hash bits), so the task-local lexsort makes
-    bucket runs globally exact. With ``est_refs`` (object refs of the
-    broadcast sig8 arrays) the estimate prefilter runs IN the task:
-    occurrences collapse to locally-distinct surviving pairs before
-    anything returns to the object store — the raw occurrence table
-    (dozens of bytes x bands x corpus) never exists anywhere."""
+    occurrences. A non-presorted slice holds WHOLE buckets, so the
+    task-local lexsort makes bucket runs globally exact. With ``est``
+    (callers pass the ``_sig8_ref`` ObjectRef; Ray resolves it zero-copy
+    at task start) the estimate prefilter runs IN the task: occurrences
+    collapse to locally-distinct surviving pairs before anything returns
+    to the object store — the raw occurrence table (dozens of bytes x
+    bands x corpus) never exists anywhere."""
     if not presorted:
         order = np.lexsort((fids, bhs))
         bhs, fids = bhs[order], fids[order]
-    return _expand_maybe_estimate(bhs, fids, cap, window, est_refs, cfg)
+    return _expand_maybe_estimate(bhs, fids, cap, window, est, cfg)
 
 
 @ray.remote
-def _expand_partition_task(arr_refs: tuple, k: int, cap: int,
-                           window: int,
-                           est_refs: tuple | None = None,
-                           cfg: PipelineConfig | None = None) -> pa.Table:
-    """Extract hash partition ``k`` from the SHARED (band_hash, file_id,
-    partition) arrays — put into plasma once, mapped zero-copy by every
-    task — then sort+expand(+estimate) it. Moving the partition split
-    into the tasks removes the driver's stable argsort + two 216 MB
-    gathers (~3.4 s serial at 27M rows) and ships three object refs
-    instead of 128 sliced array pairs."""
-    bhs_all, fids_all, part = (ray.get(r) for r in arr_refs)
-    idx = np.flatnonzero(part == np.int8(k))
-    bhs, fids = bhs_all[idx], fids_all[idx]
-    order = np.lexsort((fids, bhs))
-    return _expand_maybe_estimate(bhs[order], fids[order], cap, window,
-                                  est_refs, cfg)
-
-
-def _partition_expand_refs(tbl: pa.Table, cap: int, window: int,
-                           est_refs: tuple | None,
-                           cfg: PipelineConfig | None) -> list:
-    """Fire one _expand_partition_task per non-empty hash partition of a
-    pulled pairable table (see _DRIVER_SORT_LIMIT); driver work is one
-    int8 mask pass + three puts."""
-    import ray as _ray
-
-    bhs = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+def _sort_band_block_task(tbl: pa.Table) -> pa.Table:
+    """Sort one pairable block by band_hash and return it as a
+    SINGLE-CHUNK table (arrays built fresh from numpy). Sorting inside
+    the filter map would NOT survive: the Ray Data executor bundles
+    consecutive map outputs into one block by concatenation (observed:
+    2-chunk blocks, each chunk sorted, the block not), silently
+    splitting buckets across range tasks. Task outputs bypass the
+    executor's bundling entirely."""
+    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
-    fids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                      dtype=np.int64)
-    part = (bhs & np.int64(_HASH_EXPAND_PARTS - 1)).astype(np.int8)
-    counts = np.bincount(part, minlength=_HASH_EXPAND_PARTS)
-    arr_refs = tuple(_ray.put(x) for x in (bhs, fids, part))
-    return [_expand_partition_task.remote(arr_refs, int(k), cap, window,
-                                          est_refs, cfg)
-            for k in np.flatnonzero(counts)]
+    order = np.argsort(bh)
+    return pa.table({"band_hash": pa.array(bh[order]),
+                     "file_id": pa.array(fid[order])})
+
+
+@ray.remote
+def _expand_range_task(block_refs: list, lo: int, hi: int | None,
+                       cap: int, window: int,
+                       est: tuple | None = None,
+                       cfg: PipelineConfig | None = None) -> pa.Table:
+    """Extract band_hash range [lo, hi) from the band-hash-SORTED
+    single-chunk pairable blocks (one binary search + zero-copy slice
+    per block — total extraction traffic across all range tasks is ONE
+    pass over the table, where mask-scan partition tasks paid nparts
+    passes and flat-lined on the memory bus), then
+    sort+expand(+estimate). band_hash is splitmix-mixed, so equal-width
+    int64 ranges are uniform and buckets (equal keys) stay whole per
+    range."""
+    bs, fs = [], []
+    for ref in block_refs:
+        t = ray.get(ref)
+        bh = np.asarray(t["band_hash"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        i0 = int(np.searchsorted(bh, lo, side="left"))
+        i1 = (len(bh) if hi is None
+              else int(np.searchsorted(bh, hi, side="left")))
+        if i1 > i0:
+            bs.append(bh[i0:i1])
+            fs.append(np.asarray(t["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)[i0:i1])
+    if not bs:
+        bhs = np.empty(0, dtype=np.int64)
+        fids = np.empty(0, dtype=np.int64)
+    else:
+        bhs = np.concatenate(bs)
+        fids = np.concatenate(fs)
+        order = np.lexsort((fids, bhs))
+        bhs, fids = bhs[order], fids[order]
+    return _expand_maybe_estimate(bhs, fids, cap, window, est, cfg)
+
+
+def _expand_parts() -> int:
+    """Range-task count for the parallel bucket expansion: enough tasks
+    to spread bucket-size skew across the cluster, bounded so per-task
+    dispatch + binary-search overhead stays negligible."""
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return min(128, max(8, 4 * cpus))
+
+
+def _range_bounds(nparts: int) -> list[tuple[int, int | None]]:
+    """Equal-width int64 [lo, hi) boundaries covering the full range
+    (hi=None marks +inf for the last partition)."""
+    step = (1 << 64) // nparts
+    lows = [(-(1 << 63)) + k * step for k in range(nparts)]
+    return [(lows[k], lows[k + 1] if k + 1 < nparts else None)
+            for k in range(nparts)]
+
+
+def _expand_range_refs(pairable: ray.data.Dataset, cap: int, window: int,
+                       est_ref, cfg: PipelineConfig | None) -> list:
+    """Per-block sort tasks, then one _expand_range_task per band_hash
+    range over the sorted blocks. Driver work: collecting block refs
+    (zero-copy) — no pull, no concat, no re-put of the band table."""
+    sorted_refs = [_sort_band_block_task.remote(r)
+                   for r in pairable.to_arrow_refs()]
+    return [_expand_range_task.remote(sorted_refs, lo, hi, cap, window,
+                                      est_ref, cfg)
+            for lo, hi in _range_bounds(_expand_parts())]
 
 
 def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
@@ -530,22 +583,22 @@ def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
         "hamming": tbl["hamming"].take(first)})
 
 
-#: Above this many pairable band rows the driver's global two-key sort
-#: (the only serial step left in the fast path — 1.5 s at 5.7M rows,
-#: and it cannot scale with CPUs) is replaced by hash-partitioned
-#: task-side sorts: rows are grouped by the low bits of band_hash (the
-#: key is splitmix-mixed, so low bits are uniform and buckets stay
-#: whole per partition) with one radix argsort of int8 partition ids,
-#: and each expansion task lexsorts its own ~n/128 slice in parallel.
-#: Identical pair multiset: per-bucket expansion only needs the bucket's
-#: rows contiguous and fid-sorted, which the task-local sort provides.
+#: Above this many pairable band rows the driver never touches the
+#: table at all: expansion runs as band_hash-RANGE tasks over the
+#: sorted pairable blocks (``_expand_range_task`` — one binary search +
+#: zero-copy slice per block per task), each lexsorting its own slice
+#: in parallel. Below it, one driver pull + exact lexsort gives
+#: output-weight-balanced slices (EXACT per-bucket pair counts), which
+#: beats task dispatch at small sizes. Identical pair multiset either
+#: way: per-bucket expansion only needs the bucket's rows contiguous
+#: and fid-sorted, which both paths provide.
 _DRIVER_SORT_LIMIT = 2_000_000
-_HASH_EXPAND_PARTS = 128
 
 
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
                     num_partitions: int | None = None,
-                    distinct: bool = True) -> ray.data.Dataset:
+                    distinct: bool = True,
+                    n_rows_hint: int | None = None) -> ray.data.Dataset:
     """LSH buckets -> candidate pairs (a<b).
 
     The bucket pairing is THE near-dup shuffle (the analog of the
@@ -570,28 +623,26 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
 
     import ray as _ray
 
-    pairable, n_pairable = _pairable_bands(bands)
+    pairable, n_pairable = _pairable_bands(bands, n_rows_hint)
 
-    # ---- driver fast path: the whole bucket step from ONE pull -------
-    # The gate is on the FILTERED row count (the actual pull size): a
-    # pairable table at 16 B/row fits the driver far beyond any corpus
-    # this box can host (32M rows = 512 MB). Small pulls take one exact
-    # lexsort (EXACT bucket sizes, output-weight-balanced slices); large
-    # pulls take the hash-partitioned parallel expansion
-    # (_DRIVER_SORT_LIMIT). Past the gate, the fully distributed path
-    # below (two-phase hot detection on the filtered table, Arrow C++
-    # self-join) computes the identical pair multiset.
+    # ---- driver-gated fast path -----------------------------------------
+    # The gate is on the FILTERED row count: at 16 B/row, 32M rows =
+    # 512 MB — the most any single process ever handles here. Above
+    # _DRIVER_SORT_LIMIT the driver touches nothing: range tasks slice
+    # the sorted pairable blocks directly from the object store. Below
+    # it, one pull + exact lexsort gives output-weight-balanced slices.
+    # Past the gate, the fully distributed path below (two-phase hot
+    # detection, Arrow C++ self-join) computes the identical multiset.
     if n_pairable <= DRIVER_PAIR_EXPAND_LIMIT:
-        batches = list(pairable.iter_batches(batch_format="pyarrow",
-                                             batch_size=None))
-        if not batches:
+        if n_pairable == 0:
             pairs = ray.data.from_arrow(_EMPTY_PAIRS)
             return pairs if not distinct else distinct_pairs(pairs)
-        tbl = pa.concat_tables(batches).combine_chunks()
-        if tbl.num_rows > _DRIVER_SORT_LIMIT:
-            refs = _partition_expand_refs(tbl, cap, window, None, None)
+        if n_pairable > _DRIVER_SORT_LIMIT:
+            refs = _expand_range_refs(pairable, cap, window, None, None)
             pairs = ray.data.from_arrow_refs(refs)
             return pairs if not distinct else distinct_pairs(pairs)
+        tbl = pa.concat_tables(pairable.iter_batches(
+            batch_format="pyarrow", batch_size=None)).combine_chunks()
         slices, total_pairs = _driver_slices(tbl, cap, window, cfg)
         if not slices:
             pairs = ray.data.from_arrow(_EMPTY_PAIRS)
@@ -618,19 +669,31 @@ def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
     return _distributed_candidates(pairable, cfg, nparts, distinct)
 
 
-def _pairable_bands(bands: ray.data.Dataset
+def _pairable_bands(bands: ray.data.Dataset,
+                    n_rows_hint: int | None = None
                     ) -> tuple[ray.data.Dataset, int]:
-    """Materialize the band table and apply the DISTRIBUTED singleton
-    pre-filter: the "seen >= 2" bitmap drops the singleton majority
-    (unique docs produce unique band hashes) in a parallel scan.
+    """Apply the DISTRIBUTED singleton pre-filter to the band table:
+    the "seen >= 2" bitmap drops the singleton majority (unique docs
+    produce unique band hashes) in a parallel scan.
+
+    With ``n_rows_hint`` (callers that know rows = docs x bands) the
+    input stays LAZY: the cheap band expansion re-executes in the
+    bitmap pass and the filter pass instead of materializing the full
+    band table — two streaming passes beat one object-store round trip
+    of ~16 B x bands x corpus. Without a hint the input is materialized
+    once to count it (generic callers).
+
     Exactness: every row of a key with global count >= 2 survives (no
     false negatives), so bucket sizes computed downstream are exact for
     surviving keys; bitmap-collision singletons form size-1 runs that
     the size >= 2 cut drops anyway."""
     import ray as _ray
 
-    bands = bands.materialize()
-    n_band_rows = bands.count()
+    if n_rows_hint is None:
+        bands = bands.materialize()
+        n_band_rows = bands.count()
+    else:
+        n_band_rows = n_rows_hint
     bitmap, m = _multi_occurrence_bitmap(bands, n_band_rows)
     bm_handle = _ray.put(bitmap)
     pre_mask = np.uint64(m - 1)
@@ -645,7 +708,10 @@ def _pairable_bands(bands: ray.data.Dataset
         slots = (h & pre_mask).astype(np.int64)
         keep = (bm[slots >> 3]
                 & (1 << (slots & 7)).astype(np.uint8)) != 0
-        return batch.filter(pa.array(keep))
+        return pa.table({
+            "band_hash": pa.array(h.view(np.int64)[keep]),
+            "file_id": pa.array(np.asarray(batch["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)[keep])})
 
     pairable = bands.map_batches(keep_pairable, batch_format="pyarrow",
                                  batch_size=None).materialize()
@@ -755,30 +821,32 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
               if isinstance(sigs, MaterializedDataset) else None)
     if n_sigs is None or n_sigs > BROADCAST_SIG_LIMIT:
         return candidate_pairs(bands, cfg, nparts, distinct=False), False
-    pairable, n_pairable = _pairable_bands(bands)
+    import ray as _ray
+
+    # fire the sig8 narrow+merge FIRST: the merge task runs on a worker
+    # while the driver executes the bitmap and filter passes below (the
+    # old driver-side pull+sort+put of the sig arrays was ~1 s of serial
+    # time the whole candidate stage waited on)
+    est_ref = _sig8_ref(sigs, cfg)
+    pairable, n_pairable = _pairable_bands(
+        bands, n_rows_hint=n_sigs * cfg.lsh_bands)
     if n_pairable > DRIVER_PAIR_EXPAND_LIMIT:
         return _distributed_candidates(pairable, cfg, nparts,
                                        False), False
     cap, window = cfg.bucket_cap, cfg.bucket_window
-    batches = list(pairable.iter_batches(batch_format="pyarrow",
-                                         batch_size=None))
-    if not batches:
+    if n_pairable == 0:
         return ray.data.from_arrow(_EMPTY_EST), True
-    tbl = pa.concat_tables(batches).combine_chunks()
-    if tbl.num_rows > _DRIVER_SORT_LIMIT:
-        import ray as _ray
-
-        est_refs = tuple(_ray.put(x) for x in _pull_sig8(sigs, cfg))
-        refs = _partition_expand_refs(tbl, cap, window, est_refs, cfg)
+    if n_pairable > _DRIVER_SORT_LIMIT:
+        refs = _expand_range_refs(pairable, cap, window, est_ref, cfg)
         merged = _merge_estimated(_ray.get(refs))
         return _est_blocks(merged, cfg), True
+    tbl = pa.concat_tables(pairable.iter_batches(
+        batch_format="pyarrow", batch_size=None)).combine_chunks()
     slices, _total = _driver_slices(tbl, cap, window, cfg)
     if not slices:
         return ray.data.from_arrow(_EMPTY_EST), True
-    sids, smat, snsh, ssim = _pull_sig8(sigs, cfg)
     if len(slices) == 1 and slices[0][2]:
-        # single slice: expand + estimate inline (sig arrays are
-        # already driver-local — no put/get round trip)
+        # single slice: expand + estimate inline on the driver
         out = _expand_sorted_slice(slices[0][0], slices[0][1], cap,
                                    window)
         a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
@@ -787,14 +855,12 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
                        dtype=np.int64)
         cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
                         dtype=bool)
+        sids, smat, snsh, ssim = _ray.get(est_ref)
         merged = _est_unique_score(a, b, cp, sids, smat, snsh, ssim,
                                    cfg, "n_bands")
         return _est_blocks(merged, cfg), True
-    import ray as _ray
-
-    est_refs = tuple(_ray.put(x) for x in (sids, smat, snsh, ssim))
     refs = [_expand_slice_task.remote(bh, fi, ps, cap, window,
-                                      est_refs, cfg)
+                                      est_ref, cfg)
             for bh, fi, ps in slices]
     merged = _merge_estimated(_ray.get(refs))
     return _est_blocks(merged, cfg), True
@@ -1083,14 +1149,52 @@ def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
             - np.maximum(cfg.est_prefilter_margin, 2.0 / np.sqrt(m)))
 
 
-def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
-               ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Driver copy of the signature table narrowed to uint8 low slices
-    (narrowing runs distributed; the driver pulls 1 B/slot). Returns
-    (sorted file_ids, uint8[n, num_perms], n_shingles, simhash uint64)
-    all aligned; carrying the 8-byte simhash lets the estimate emit the
-    exact ``hamming`` column for free (one vectorized popcount per
-    UNIQUE pair) so the content verifier never recomputes SimHash.
+def _sig8_to_u8_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
+    m8 = (np.asarray(
+        batch["minhash"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        .view(np.uint64).astype(np.uint8))
+    return pa.table({
+        "file_id": batch["file_id"],
+        "sig8": pa.FixedSizeListArray.from_arrays(
+            pa.array(m8, pa.uint8()), num_perms),
+        "n_shingles": batch["n_shingles"],
+        "simhash": batch["simhash"],
+    })
+
+
+@ray.remote
+def _merge_sig8_task(block_refs: list, num_perms: int
+                     ) -> tuple[np.ndarray, np.ndarray,
+                                np.ndarray, np.ndarray]:
+    """Concat + id-sort the narrowed sig8 blocks in ONE worker task so
+    the driver never holds (or re-puts) the signature arrays; the
+    returned tuple lands in plasma as the task output and every
+    consumer maps it zero-copy."""
+    tbl = pa.concat_tables([ray.get(r) for r in block_refs])
+    ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    mat = np.asarray(
+        tbl["sig8"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False),
+        dtype=np.uint8).reshape(len(ids), num_perms)
+    nsh = np.asarray(tbl["n_shingles"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    sim = np.asarray(tbl["simhash"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64).view(np.uint64)
+    order = np.argsort(ids)
+    return ids[order], mat[order], nsh[order], sim[order]
+
+
+def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
+    """ObjectRef of (sorted file_ids, uint8[n, num_perms] low slices,
+    n_shingles, simhash uint64), all aligned. Narrowing to 1 B/slot runs
+    distributed; the concat+sort runs in a worker task (the driver
+    neither pulls nor re-puts the arrays — this was ~1 s of serial
+    driver time per candidate stage). Carrying the 8-byte simhash lets
+    the estimate emit the exact ``hamming`` column for free (one
+    vectorized popcount per UNIQUE pair) so the content verifier never
+    recomputes SimHash.
 
     Slice-equality on low bytes can only OVERESTIMATE the match
     fraction: a false slot equality needs a 2^-8 collision, so the est
@@ -1098,37 +1202,22 @@ def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
     prefilter margin, and upward-only, so recall is untouched while the
     broadcast and every per-batch gather move 1/8 of the 64-bit bytes.
     """
+    import functools
 
-    def to_u8(batch: pa.Table) -> pa.Table:
-        m8 = (np.asarray(
-            batch["minhash"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False), dtype=np.int64)
-            .view(np.uint64).astype(np.uint8))
-        return pa.table({
-            "file_id": batch["file_id"],
-            "sig8": pa.FixedSizeListArray.from_arrays(
-                pa.array(m8, pa.uint8()), cfg.num_perms),
-            "n_shingles": batch["n_shingles"],
-            "simhash": batch["simhash"],
-        })
+    refs = (sigs.select_columns(
+        ["file_id", "minhash", "n_shingles", "simhash"])
+        .map_batches(functools.partial(_sig8_to_u8_batch,
+                                       num_perms=cfg.num_perms),
+                     batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs())
+    return _merge_sig8_task.remote(refs, cfg.num_perms)
 
-    tbl = pa.concat_tables(
-        [b for b in sigs.select_columns(
-            ["file_id", "minhash", "n_shingles", "simhash"])
-         .map_batches(to_u8, batch_format="pyarrow", batch_size=None)
-         .iter_batches(batch_format="pyarrow", batch_size=None)])
-    ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    mat = np.asarray(
-        tbl["sig8"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False),
-        dtype=np.uint8).reshape(len(ids), cfg.num_perms)
-    nsh = np.asarray(tbl["n_shingles"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    sim = np.asarray(tbl["simhash"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64).view(np.uint64)
-    order = np.argsort(ids)
-    return ids[order], mat[order], nsh[order], sim[order]
+
+def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-resident copy of the sig8 arrays (see ``_sig8_ref``);
+    the arrays are plasma-backed read-only views."""
+    return ray.get(_sig8_ref(sigs, cfg))
 
 
 def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
@@ -1258,10 +1347,11 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         import ray
 
         # Ship only the LOW 8 BITS of each signature slot (see
-        # _pull_sig8: upward-only bias +0.004 vs a 0.2 margin) — the
+        # _sig8_ref: upward-only bias +0.004 vs a 0.2 margin) — the
         # broadcast and every per-batch gather move 1/8 of the 64-bit
-        # bytes.
-        handle = ray.put(_pull_sig8(sigs, cfg))
+        # bytes. The merge-task output ref IS the broadcast handle (no
+        # driver pull, no second put).
+        handle = _sig8_ref(sigs, cfg)
 
         def score_bcast(batch: pa.Table) -> pa.Table:
             # COMPRESS per block: one output row per unique (a,b) with
@@ -1588,7 +1678,9 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
     bands = slim.map_batches(to_bands, batch_format="pyarrow",
                              batch_size=None)
     sim_cfg = cfg.with_(bucket_cap=max(cfg.bucket_cap, 4096))
-    pairs = candidate_pairs(bands, sim_cfg, distinct=True).materialize()
+    pairs = candidate_pairs(
+        bands, sim_cfg, distinct=True,
+        n_rows_hint=slim.count() * n_bands).materialize()
     max_d = cfg.simhash_max_hamming
 
     def _finish(a, b, cp, ha, hb):

@@ -477,3 +477,59 @@ def test_fused_multislice_merge_matches_single(pipe, monkeypatch):
               round(r["est"], 12), r["hamming"])
              for r in multi.take_all()}
     assert rows1 == rows2 and len(rows1) > 0
+
+
+def test_exact_task_partition_matches_driver(small_corpus_dir, monkeypatch):
+    """Forcing the sha-prefix-partitioned exact grouping (task path)
+    must reproduce the driver-lexsort path exactly: same group rows in
+    the same (sha-sorted) order, same representatives, same
+    member→rep edge set."""
+    import data_deduplication_service_ray.pipelines.neardup as pn
+
+    def snapshot(p):
+        groups = [(r["content_sha256"], r["file_id"], r["dup_count"])
+                  for r in p.file_groups().take_all()]
+        reps = {r["file_id"] for r in p.representatives().take_all()}
+        edges = {(r["a"], r["b"]) for r in p.exact_edges().take_all()}
+        return groups, reps, edges
+
+    base = snapshot(NearDupPipeline(
+        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG))
+    monkeypatch.setattr(pn, "TASK_GROUP_LIMIT", 0)
+    tasked = snapshot(NearDupPipeline(
+        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG))
+    assert base[0] == tasked[0] and len(base[0]) > 0
+    assert base[1] == tasked[1]
+    assert base[2] == tasked[2] and len(base[2]) > 0
+
+
+def test_sort_block_tasks_handle_multichunk_unsorted_blocks():
+    """The Ray Data executor bundles consecutive map outputs into one
+    block by CONCATENATION (each chunk sorted, the block not) — the
+    per-block sort tasks must return globally sorted SINGLE-CHUNK
+    tables for such blocks, or range extraction silently splits
+    groups/buckets across tasks."""
+    import pyarrow as pa
+    import ray
+
+    import data_deduplication_service_ray.pipelines.neardup as pn
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    sha = "aa" * 32
+    lo_sha = "11" * 32
+    cat = pa.concat_tables([
+        pa.table({"content_sha256": [sha, "ff" + "0" * 62],
+                  "file_id": [5, 9]}),
+        pa.table({"content_sha256": [lo_sha, sha], "file_id": [2, 3]})])
+    assert cat["content_sha256"].num_chunks == 2
+    out = ray.get(pn._sort_catalog_block_task.remote(cat))
+    assert out["content_sha256"].num_chunks == 1
+    assert out["content_sha256"].to_pylist() == sorted(
+        [sha, "ff" + "0" * 62, lo_sha, sha])
+
+    band = pa.concat_tables([
+        pa.table({"band_hash": [7, 40], "file_id": [1, 2]}),
+        pa.table({"band_hash": [-3, 7], "file_id": [3, 4]})])
+    bout = ray.get(nd._sort_band_block_task.remote(band))
+    assert bout["band_hash"].num_chunks == 1
+    assert bout["band_hash"].to_pylist() == [-3, 7, 7, 40]
