@@ -42,6 +42,30 @@ def _as_i64(arr_u64: np.ndarray) -> pa.Array:
     return pa.array(arr_u64.view(np.int64))
 
 
+def fsb_from_matrix(mat: np.ndarray) -> pa.Array:
+    """(n, w)-matrix -> FixedSizeBinaryArray built from the matrix's
+    ONE contiguous buffer — no per-row ``tobytes()`` Python loop (that
+    loop sat on exactly the past-the-broadcast-gate join path a big
+    cluster runs). Row width = w x itemsize bytes."""
+    n = mat.shape[0]
+    width = int(mat.shape[1]) * mat.itemsize
+    buf = pa.py_buffer(np.ascontiguousarray(mat).reshape(-1).view(
+        np.uint8))
+    return pa.Array.from_buffers(pa.binary(width), n, [None, buf])
+
+
+def fsb_to_matrix(col: pa.ChunkedArray, dtype) -> np.ndarray:
+    """FixedSizeBinary column -> (n, w) matrix view, zero-copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    w = arr.type.byte_width
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8,
+                        count=n * w, offset=arr.offset * w)
+    return raw.view(dtype).reshape(n, -1)
+
+
 def _pool_max(cfg: PipelineConfig) -> int:
     """Actor-pool upper bound: explicit config, else every cluster CPU.
 
@@ -1397,16 +1421,17 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             dtype=np.int64))
         # ONE fixed-width blob per row (low-8 sig slots + trailing int64
         # shingle count + int64 simhash): Arrow joins reject list
-        # payloads, and a single binary column keeps the join plumbing
-        # simple; low-8 slices cut the sig payload width 8x (recall-safe
-        # — see _pull_sig8); the simhash rides so this path emits the
-        # same ``hamming`` column as the broadcast path
+        # payloads, and a single fixed-size-binary column keeps the join
+        # plumbing simple; low-8 slices cut the sig payload width 8x
+        # (recall-safe — see _sig8_ref); the simhash rides so this path
+        # emits the same ``hamming`` column as the broadcast path. The
+        # column is built from the matrix buffer in one shot
+        # (fsb_from_matrix) — no per-row Python.
         blob_mat = np.concatenate(
             [mat, nsh.view(np.uint8).reshape(n, 8),
              sim.view(np.uint8).reshape(n, 8)], axis=1)
-        blobs = [row.tobytes() for row in blob_mat]
         return pa.table({"file_id": batch["file_id"],
-                         "sig": pa.array(blobs, pa.binary())})
+                         "sig": fsb_from_matrix(blob_mat)})
 
     packed = sigs.select_columns(
         ["file_id", "minhash", "n_shingles", "simhash"]).map_batches(
@@ -1419,10 +1444,8 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
             return (batch.drop_columns(["sig_a", "sig_b"])
                     .append_column("est", pa.array([], pa.float64()))
                     .append_column("hamming", pa.array([], pa.int64())))
-        rawa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
-                             dtype=np.uint8).reshape(n, sig_w + 16)
-        rawb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
-                             dtype=np.uint8).reshape(n, sig_w + 16)
+        rawa = fsb_to_matrix(batch["sig_a"], np.uint8)
+        rawb = fsb_to_matrix(batch["sig_b"], np.uint8)
         sa = rawa[:, :sig_w]
         sb = rawb[:, :sig_w]
         na = (np.ascontiguousarray(rawa[:, sig_w:sig_w + 8])

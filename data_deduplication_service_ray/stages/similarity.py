@@ -393,12 +393,15 @@ def embedding_neardup_pairs(embeddings: ray.data.Dataset, dim: int,
 
     # Arrow hash joins reject list-typed payload columns — ship vectors
     # through the join as fixed-width binary (zero semantic loss: float64
-    # little-endian bytes), unpack in the vectorized verifier.
+    # little-endian bytes), packed from the matrix buffer in one shot
+    # (no per-row Python), unpacked zero-copy in the verifier.
+    from data_deduplication_service_ray.stages.neardup import (
+        fsb_from_matrix, fsb_to_matrix)
+
     def pack(batch: pa.Table) -> pa.Table:
         mat = _batch_matrix(batch, emb_col)
-        blobs = [row.tobytes() for row in mat]
         return pa.table({id_col: batch[id_col],
-                         "emb_bytes": pa.array(blobs, pa.binary())})
+                         "emb_bytes": fsb_from_matrix(mat)})
 
     slim = embeddings.select_columns([id_col, emb_col]).map_batches(
         pack, batch_format="pyarrow")
@@ -416,11 +419,7 @@ def embedding_neardup_pairs(embeddings: ray.data.Dataset, dim: int,
             .rename_columns(rename_for("b")))
 
     def _unpack(col: pa.ChunkedArray) -> np.ndarray:
-        blobs = col.to_pylist()
-        if not blobs:
-            return np.empty((0, 0))
-        return np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(
-            len(blobs), -1)
+        return fsb_to_matrix(col, np.float64)
 
     def verify(batch: pa.Table) -> pa.Table:
         ma = _normalize(_unpack(batch["emb_a"]))

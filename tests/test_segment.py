@@ -151,3 +151,35 @@ def test_token_shingles_partial_and_empty():
     # deterministic across calls (memo must not perturb values)
     again = shingle_array("x", cfg)
     assert np.array_equal(one, again)
+
+
+def test_cdc_vectorized_matches_naive_loop():
+    """The vectorized CDC kernel (prefix identity + candidate walk) and
+    the batch variant must reproduce the per-byte reference loop's cut
+    positions bit-for-bit, including multi-byte utf-8 deferrals and
+    degenerate min/max configs."""
+    import random
+
+    from data_deduplication_service_ray.stages.segment import (
+        _cdc_cuts, _cdc_cuts_naive, cdc_cuts_batch)
+
+    rng = random.Random(13)
+    alphabet = "abcdef ghij\nklmno 测试数据éü😀"
+    for _ in range(150):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 700)))
+        cfg = CFG.with_(cdc_min=rng.choice([1, 4, 32, 100]),
+                        cdc_avg_bits=rng.choice([1, 3, 6, 8]),
+                        cdc_max=rng.choice([3, 16, 64, 256]))
+        d = s.encode()
+        assert _cdc_cuts(d, cfg) == _cdc_cuts_naive(d, cfg)
+    # batch == per-doc across doc boundaries + empty docs
+    docs = [("".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 500)))).encode()
+            for _ in range(40)]
+    cfg = CFG.with_(shingle_mode="cdc")
+    got = cdc_cuts_batch(docs, cfg)
+    for d, cuts in zip(docs, got):
+        want = _cdc_cuts_naive(d, cfg) if d else [0]
+        if d:
+            assert cuts == want
