@@ -134,6 +134,19 @@ class PipelineConfig:
         return replace(self, **kw)
 
 
+def gate(value: int) -> int:
+    """Count-gate limit helper. The house pattern is "count-gated driver
+    fast paths with parity-tested distributed fallbacks": every limit
+    below which a single-process shortcut runs is declared through this
+    function, so ``GRAFT_FORCE_DISTRIBUTED=1`` zeroes them all at import
+    time and the whole pipeline runs the code paths a real multi-node
+    cluster would — the benchmark for those paths is recorded in
+    BASELINE.md."""
+    import os
+
+    return 0 if os.environ.get("GRAFT_FORCE_DISTRIBUTED") == "1" else value
+
+
 def join_parts(cfg: PipelineConfig) -> int:
     """Resolved join/shuffle partition count for this cluster.
 

@@ -20,6 +20,45 @@ def _configure() -> None:
     configure_context()
 
 
+def validate_parquet_input(path_or_dir: str) -> None:
+    """Fail fast with a CLEAR error for missing or corrupt inputs (the
+    reference's filesystem existence/readability checks, M5,
+    lib/fileUtils.cpp:101-143) instead of a deep Ray-task traceback at
+    first execution. Cheap: existence + one parquet FOOTER read of the
+    first file. URIs (s3:// etc.) are passed through — remote stores
+    surface their own errors."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if "://" in path_or_dir:
+        return
+    if not os.path.exists(path_or_dir):
+        raise FileNotFoundError(
+            f"input path does not exist: {path_or_dir!r} "
+            "(expected a parquet file or a directory of parquet files)")
+    if os.path.isdir(path_or_dir):
+        probe = None
+        for root, _dirs, files in os.walk(path_or_dir):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    probe = os.path.join(root, f)
+                    break
+            if probe:
+                break
+        if probe is None:
+            raise ValueError(
+                f"no *.parquet files under input directory: "
+                f"{path_or_dir!r}")
+    else:
+        probe = path_or_dir
+    try:
+        pq.read_schema(probe)
+    except Exception as exc:
+        raise ValueError(
+            f"input is not readable parquet: {probe!r}: {exc}") from exc
+
+
 def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
     """Read an input_hint-shaped corpus (repo,path,commit,lang,content)
     and derive ``file_id`` content-free from the natural key.
@@ -32,6 +71,7 @@ def read_corpus(path_or_dir: str, *, columns=None) -> ray.data.Dataset:
     (hash-shuffle strategy) is applied HERE, before read_parquet.
     """
     _configure()
+    validate_parquet_input(path_or_dir)
     cols = columns or ["repo", "path", "commit", "lang", "content"]
     need = sorted(set(cols) | {"repo", "path", "commit"})
     # one read task per ~core-quantum: the default block sizing fuses a
@@ -60,6 +100,7 @@ def read_documents(sf_dir: str, *, columns=None) -> ray.data.Dataset:
     internal schema: doc_id -> file_id, text -> content; lang/source kept.
     """
     _configure()
+    validate_parquet_input(f"{sf_dir}/documents.parquet")
     cols = columns or ["doc_id", "text", "lang", "source"]
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from data_deduplication_service_ray.config import gate
 from ray.data.aggregate import Min
 
 
@@ -145,7 +147,7 @@ def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
 #: Broadcast the label table into the attach step below this row count
 #: (labels cover only nodes with >=1 duplicate edge, a small fraction of
 #: any real corpus); past it, fall back to a left-outer hash join.
-BROADCAST_LABEL_LIMIT = 5_000_000
+BROADCAST_LABEL_LIMIT = gate(5_000_000)
 
 
 def attach_singletons(labels: ray.data.Dataset,

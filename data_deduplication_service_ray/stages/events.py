@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from data_deduplication_service_ray.config import gate
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
@@ -99,7 +101,7 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30
 #: Stitch partial sessions on the driver below this count. Partial
 #: sessions ≈ true sessions + one potential split per block boundary, so
 #: the stitch input is session-sized, not event-sized.
-SESSION_STITCH_LIMIT = 5_000_000
+SESSION_STITCH_LIMIT = gate(5_000_000)
 
 
 def sessionize_sorted(events: ray.data.Dataset, gap_minutes: int = 30

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from data_deduplication_service_ray.config import gate
 from ray.data.aggregate import Count, Min, Sum
 
 
@@ -28,7 +30,7 @@ from ray.data.aggregate import Count, Min, Sum
 #: small-corpus query; past the limit the distributed path runs
 #: unchanged. Same discipline as the neardup driver gates (parity is
 #: exact — the single task computes the identical merge).
-SINGLE_TASK_FINALIZE_LIMIT = 2_000_000
+SINGLE_TASK_FINALIZE_LIMIT = gate(2_000_000)
 
 
 def finalize_small(partials: ray.data.Dataset, final_fn,

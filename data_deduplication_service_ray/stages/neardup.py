@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max
 
-from data_deduplication_service_ray.config import PipelineConfig, join_parts
+from data_deduplication_service_ray.config import (PipelineConfig, gate,
+                                                    join_parts)
 from data_deduplication_service_ray.functions import minhash as mh
 from data_deduplication_service_ray.functions.aggregates import CollectList
 from data_deduplication_service_ray.stages.segment import shingle_array
@@ -359,7 +360,7 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
 #: host at any input size. Past the limit the Arrow C++ self-join runs —
 #: identical pair multiset either way (buckets are capped, so per-bucket
 #: expansion is bounded in both paths).
-DRIVER_PAIR_EXPAND_LIMIT = 32_000_000
+DRIVER_PAIR_EXPAND_LIMIT = gate(32_000_000)
 
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
@@ -616,7 +617,7 @@ def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
 #: beats task dispatch at small sizes. Identical pair multiset either
 #: way: per-bucket expansion only needs the bucket's rows contiguous
 #: and fid-sorted, which both paths provide.
-_DRIVER_SORT_LIMIT = 2_000_000
+_DRIVER_SORT_LIMIT = gate(2_000_000)
 
 
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
@@ -993,7 +994,7 @@ def _distributed_candidates(pairable: ray.data.Dataset,
 #: (est-surviving pairs scale with true duplicate density, not corpus
 #: size, but CAN exceed it) the distributed groupby runs; both paths
 #: produce identical rows.
-DRIVER_DISTINCT_LIMIT = 2_000_000
+DRIVER_DISTINCT_LIMIT = gate(2_000_000)
 
 
 def _driver_distinct_table(tbl: pa.Table) -> pa.Table:
@@ -1151,7 +1152,7 @@ def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
 #: pair-key packing needs sig indices < 2^30 (ia<<33 in an int64), so
 #: the limit must stay below 2^30 rows. At cluster scale the limit keeps
 #: the broadcast bounded regardless of corpus size.
-BROADCAST_SIG_LIMIT = 4_000_000
+BROADCAST_SIG_LIMIT = gate(4_000_000)
 
 #: Fuse estimate-prefilter + distinct on the DRIVER while the raw
 #: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
@@ -1160,7 +1161,7 @@ BROADCAST_SIG_LIMIT = 4_000_000
 #: and a separate distinct — the biggest serial-vs-fixed-cost win in the
 #: verify stage at sub-gate sizes. Past the limit the distributed
 #: estimate + distinct run unchanged (identical rows; parity-tested).
-DRIVER_EST_LIMIT = 20_000_000
+DRIVER_EST_LIMIT = gate(20_000_000)
 
 
 def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
@@ -1566,7 +1567,7 @@ def verify_batch(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
 #: attach task maps it zero-copy, so ~1M pairs x ~1 KiB docs ≈ low GBs;
 #: the measured alternative (two content hash joins) was 3-4x slower at
 #: 146k pairs because content rides the shuffle twice.
-BROADCAST_PAIR_LIMIT = 1_000_000
+BROADCAST_PAIR_LIMIT = gate(1_000_000)
 
 
 def _fetch_pair_contents(pairs: ray.data.Dataset,

@@ -235,6 +235,18 @@ def ivf_build(embeddings: ray.data.Dataset, index_dir: str,
     return cents
 
 
+def _fs_and_path(uri: str):
+    """(pyarrow FileSystem, scheme-less path) for a local path or any
+    fs URI (file://, s3://, gs://, ...) — at 100 TB the index lives in
+    an object store, so every listing/open below goes through the
+    pyarrow.fs abstraction, never ``os``."""
+    from pyarrow import fs as pafs
+
+    if "://" in uri:
+        return pafs.FileSystem.from_uri(uri)
+    return pafs.LocalFileSystem(), uri
+
+
 def ivf_search_pruned(index_dir: str, query_ids: list[int],
                       k: int = 10, nprobe: int = 4,
                       id_col: str = "vec_id",
@@ -243,14 +255,20 @@ def ivf_search_pruned(index_dir: str, query_ids: list[int],
     the ``nprobe`` nearest centroid partitions' files are opened. The
     query rows live in their own centroid's partition (a query's top
     probe is its own centroid), so they are always present in the pruned
-    read. Same results as ``ivf_search`` at equal (centroids, nprobe)."""
-    import os
+    read. Same results as ``ivf_search`` at equal (centroids, nprobe).
+    ``index_dir`` may be a local path or a filesystem URI (file://,
+    s3://, ...) — listing and reads go through ``pyarrow.fs``."""
+    import io
 
-    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    from pyarrow import fs as pafs
+
+    fsys, root = _fs_and_path(index_dir)
+    with fsys.open_input_file(f"{root}/_centroids.npy") as f:
+        cents = np.load(io.BytesIO(f.read()))
     # one tiny read to fetch the query vectors: probe every partition the
     # queries could live in — cheap because the searched set below is
     # what matters; queries are few
-    full = ray.data.read_parquet(index_dir)
+    full = ray.data.read_parquet(root, filesystem=fsys)
     qrows = _take_rows_by_id(full, query_ids, id_col)
     qrows.sort(key=lambda r: r[id_col])
     qmat = _normalize(np.array([r[emb_col] for r in qrows],
@@ -258,14 +276,15 @@ def ivf_search_pruned(index_dir: str, query_ids: list[int],
     probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     probe_set = sorted({int(c) for row in probes for c in row})
     # Ray's read_parquet wants FILES when given a list — expand each
-    # probe partition directory (only these files are ever opened)
+    # probe partition directory via the filesystem abstraction (only
+    # these files are ever opened)
     paths = []
     for c in probe_set:
-        d = os.path.join(index_dir, f"centroid_id={c}")
+        sel = pafs.FileSelector(f"{root}/centroid_id={c}")
         paths.extend(sorted(
-            os.path.join(d, f) for f in os.listdir(d)
-            if f.endswith(".parquet")))
-    pruned = ray.data.read_parquet(paths)
+            info.path for info in fsys.get_file_info(sel)
+            if info.path.endswith(".parquet")))
+    pruned = ray.data.read_parquet(paths, filesystem=fsys)
     return knn_brute(pruned, query_ids, k=k, id_col=id_col,
                      emb_col=emb_col)
 

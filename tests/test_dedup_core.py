@@ -200,3 +200,24 @@ def test_sha_s64_zero_copy_and_fallback():
     got2 = NearDupPipeline._sha_s64(ragged)
     assert np.array_equal(got2, np.array(["ab", "c" * 64, ""],
                                          dtype="S64"))
+
+
+def test_input_validation_clear_errors(tmp_path):
+    """M5 analog (lib/fileUtils.cpp:101-143): missing or corrupt parquet
+    inputs must fail fast with a clear error, not a deep Ray-task
+    traceback."""
+    import pytest
+
+    from data_deduplication_service_ray.sources.readers import (
+        read_corpus, validate_parquet_input)
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        read_corpus(str(tmp_path / "nope.parquet"))
+    empty = tmp_path / "emptydir"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no \\*.parquet files"):
+        validate_parquet_input(str(empty))
+    junk = tmp_path / "bad.parquet"
+    junk.write_bytes(b"this is not parquet at all")
+    with pytest.raises(ValueError, match="not readable parquet"):
+        read_corpus(str(junk))

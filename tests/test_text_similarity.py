@@ -198,3 +198,23 @@ def test_ivf_pruned_read_matches_filter_path(tmp_path):
     # the index is hive-partitioned: one dir per centroid
     parts = [d for d in os.listdir(idx) if d.startswith("centroid_id=")]
     assert len(parts) >= 2
+
+
+def test_ivf_pruned_read_works_under_file_uri(tmp_path):
+    """The pruned read must work through the pyarrow.fs abstraction
+    (object-store path shape): a file:// URI index gives identical
+    results to the plain-path read."""
+    from data_deduplication_service_ray.sources.readers import (
+        read_embeddings)
+
+    emb = read_embeddings("/root/testdata/sf0.001")
+    idx = str(tmp_path / "ivf_uri")
+    sim.ivf_build(emb, idx, n_centroids=8)
+    qids = [0, 1, 2]
+    plain = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in sim.ivf_search_pruned(idx, qids, k=5,
+                                            nprobe=2).take_all()}
+    via_uri = {(r["query_id"], r["rank"]): r["vec_id"]
+               for r in sim.ivf_search_pruned(f"file://{idx}", qids,
+                                              k=5, nprobe=2).take_all()}
+    assert plain == via_uri and len(plain) > 0
