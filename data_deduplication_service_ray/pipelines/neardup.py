@@ -110,6 +110,15 @@ def _sort_catalog_block_task(tbl: pa.Table) -> pa.Table:
     return tbl.take(pa.array(np.argsort(s))).combine_chunks()
 
 
+@ray.remote
+def _near_edge_task(tbl: pa.Table, thr: float) -> pa.Table:
+    """Accepted near-dup edges (a, b) from one verified-pair block."""
+    import pyarrow.compute as pc
+
+    keep = pc.greater_equal(tbl["jaccard"], pa.scalar(thr))
+    return tbl.select(["a", "b"]).filter(keep)
+
+
 @ray.remote(num_returns=2)
 def _exact_group_task(block_refs: list, k: int, nparts: int
                       ) -> tuple[pa.Table, pa.Table]:
@@ -440,10 +449,17 @@ class NearDupPipeline:
 
             reps = self.representatives()
             target = 8 * neardup._pool_max(self.cfg)
+            if isinstance(reps, MaterializedDataset):
+                # tiny corpora must not be over-split: a block below
+                # one signature batch (sig_batch_size rows) only adds
+                # scheduling overhead (observed +0.6 s at 5k docs x 32
+                # CPUs from splitting to 256 blocks of ~20 rows)
+                target = min(target, max(
+                    1, reps.count() // self.cfg.sig_batch_size))
             # num_blocks() only exists on materialized datasets; a lazy
             # input (checkpoint read-back) keeps the conservative split
-            if (not isinstance(reps, MaterializedDataset)
-                    or reps.num_blocks() < target // 2):
+            if target > 1 and (not isinstance(reps, MaterializedDataset)
+                               or reps.num_blocks() < target // 2):
                 reps = reps.repartition(target, shuffle=False)
             return neardup.signatures(reps, self.cfg)
 
@@ -507,6 +523,12 @@ class NearDupPipeline:
         ``cfg.unionfind_edge_limit`` edges.
         """
         def build() -> ray.data.Dataset:
+            labels = self._raw_task_labels() if method in (
+                "auto", "unionfind") else None
+            if labels is not None:
+                nodes = self.sha_fid().select_columns(["file_id"])
+                return cl.attach_singletons(
+                    labels, nodes, num_partitions=join_parts(self.cfg))
             # materialized: the auto-gate count() and the chosen
             # clustering method both consume the edge set — without the
             # barrier the lazy union would re-execute per consumer
@@ -531,6 +553,44 @@ class NearDupPipeline:
                 labels, nodes, num_partitions=join_parts(self.cfg))
 
         return self._stage(f"clusters_{method}", build, mat=False)
+
+    def _raw_task_labels(self) -> ray.data.Dataset | None:
+        """Duplicate-cluster labels with ZERO executor spin-ups: near
+        edges are filtered from the materialized verified-pair blocks by
+        raw tasks, exact edges come straight from the exact group tasks'
+        outputs, and the vectorized connected-components core runs on
+        the pulled arrays (edges ∝ duplicate population, tiny after
+        verification). Returns None when the preconditions don't hold
+        (no task-path exact edges, lazy verified set, or an edge count
+        past ``unionfind_edge_limit`` — the distributed label
+        propagation path handles those)."""
+        from ray.data.dataset import MaterializedDataset
+
+        self.file_groups()
+        exact_refs = getattr(self, "_exact_edge_refs", None)
+        verified = self.verified_pairs()
+        if exact_refs is None or not isinstance(verified,
+                                                MaterializedDataset):
+            return None
+        import ray as _ray
+
+        thr = self.cfg.jaccard_threshold
+        near_tabs = _ray.get([
+            _near_edge_task.remote(r, thr)
+            for r in verified.to_arrow_refs()])
+        exact_tabs = _ray.get(list(exact_refs))
+        a_l, b_l = [], []
+        for t in near_tabs + exact_tabs:
+            if t.num_rows:
+                a_l.append(np.asarray(t["a"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64))
+                b_l.append(np.asarray(t["b"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64))
+        a = np.concatenate(a_l) if a_l else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b_l) if b_l else np.empty(0, dtype=np.int64)
+        if len(a) > self.cfg.unionfind_edge_limit:
+            return None
+        return ray.data.from_arrow(cl.cc_min_labels(a, b))
 
     def cluster_report(self) -> ray.data.Dataset:
         return cl.cluster_sizes(self.clusters())

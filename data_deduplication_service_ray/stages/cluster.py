@@ -112,19 +112,23 @@ def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
                               dtype=np.int64))
         b_l.append(np.asarray(batch["b"].to_numpy(zero_copy_only=False),
                               dtype=np.int64))
-    empty = pa.table({"file_id": pa.array([], pa.int64()),
-                      "cluster_id": pa.array([], pa.int64())})
-    if not a_l:
-        return ray.data.from_arrow(empty)
-    a = np.concatenate(a_l)
-    b = np.concatenate(b_l)
+    a = (np.concatenate(a_l) if a_l else np.empty(0, dtype=np.int64))
+    b = (np.concatenate(b_l) if b_l else np.empty(0, dtype=np.int64))
+    return ray.data.from_arrow(cc_min_labels(a, b))
+
+
+def cc_min_labels(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Edge arrays -> (file_id, cluster_id) table, cluster_id = min
+    member id (the deterministic label contract); vectorized hooking +
+    pointer jumping core shared by the streamed and raw-task paths."""
     if len(a) == 0:
-        return ray.data.from_arrow(empty)
+        return pa.table({"file_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ea, eb = inv[:len(a)], inv[len(a):]
     # parent[i] = current min-known component member index; nodes are
     # sorted, so index order == id order and the fixpoint parent is the
-    # component's min member (the deterministic label contract)
+    # component's min member
     parent = np.arange(len(nodes), dtype=np.int64)
     while True:
         pa_, pb_ = parent[ea], parent[eb]
@@ -139,9 +143,8 @@ def cluster_unionfind_stream(edges: ray.data.Dataset) -> ray.data.Dataset:
             if np.array_equal(pp, parent):
                 break
             parent = pp
-    return ray.data.from_arrow(pa.table({
-        "file_id": pa.array(nodes),
-        "cluster_id": pa.array(nodes[parent])}))
+    return pa.table({"file_id": pa.array(nodes),
+                     "cluster_id": pa.array(nodes[parent])})
 
 
 #: Broadcast the label table into the attach step below this row count

@@ -175,6 +175,22 @@ def signatures(docs: ray.data.Dataset, cfg: PipelineConfig,
         batch_format="pyarrow", batch_size=cfg.sig_batch_size)
 
 
+def _bands_from_sigs(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
+    """One signature block -> (band_hash:int64, file_id) flat rows."""
+    n = batch.num_rows
+    sig_mat = np.asarray(
+        batch["minhash"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False),
+        dtype=np.int64).view(np.uint64).reshape(n, cfg.num_perms)
+    bh = mh.band_hashes_batch(sig_mat, cfg.lsh_bands)      # (n, bands)
+    fid = np.asarray(batch["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    return pa.table({
+        "band_hash": _as_i64(bh.reshape(-1)),
+        "file_id": pa.array(np.repeat(fid, cfg.lsh_bands)),
+    })
+
+
 def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
               ) -> ray.data.Dataset:
     """Signatures -> (band_hash:int64, file_id) flat rows.
@@ -182,24 +198,10 @@ def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
     The band index is already mixed INTO band_hash (band_hashes xors a
     per-band seed before the final mix), so the bucket shuffle key is a
     single int64 — no separate band_id column rides the shuffle."""
-    bands = cfg.lsh_bands
+    import functools
 
-    def expand(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        sig_mat = np.asarray(
-            batch["minhash"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False),
-            dtype=np.int64).view(np.uint64).reshape(n, cfg.num_perms)
-        bh = mh.band_hashes_batch(sig_mat, bands)          # (n, bands)
-        fid = np.asarray(batch["file_id"].to_numpy(zero_copy_only=False),
-                         dtype=np.int64)
-        return pa.table({
-            "band_hash": _as_i64(bh.reshape(-1)),
-            "file_id": pa.array(np.repeat(fid, bands)),
-        })
-
-    return sigs.map_batches(expand, batch_format="pyarrow",
-                            batch_size=None)
+    return sigs.map_batches(functools.partial(_bands_from_sigs, cfg=cfg),
+                            batch_format="pyarrow", batch_size=None)
 
 
 def detect_hot_keys(bands: ray.data.Dataset, cap: int,
@@ -350,6 +352,97 @@ def _multi_occurrence_bitmap(bands: ray.data.Dataset,
             acc_multi |= acc_once & o
             acc_once |= o
     return acc_multi, m
+
+
+def _bitmap_m(n_rows: int) -> int:
+    """Bitmap size: ~4 bits/row, power of two, capped at 2^30 bits."""
+    return 1 << max(20, min(30, int(np.ceil(np.log2(max(n_rows, 1)
+                                                    * 4)))))
+
+
+def _set_bits(bm: np.ndarray, idx: np.ndarray) -> None:
+    np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _get_bits(bm: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    return (bm[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+
+
+@ray.remote
+def _band_bitmap_task(src_refs: list, expand, m: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(once, multi) slot bitmaps over a GROUP of source blocks,
+    expanded to band rows in-task (``expand``; None = blocks already
+    are band rows). The in-task cross-block merge uses the same exact
+    once&once -> multi rule as the driver merge, so grouping is purely
+    a fan-in knob."""
+    nbytes = m >> 3
+    once = np.zeros(nbytes, dtype=np.uint8)
+    multi = np.zeros(nbytes, dtype=np.uint8)
+    for ref in src_refs:
+        t = ray.get(ref)
+        bt = expand(t) if expand is not None else t
+        h = np.asarray(bt["band_hash"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64).view(np.uint64)
+        slots = (h & np.uint64(m - 1)).astype(np.int64)
+        u, c = np.unique(slots, return_counts=True)
+        uo, um = u[c == 1], u[c >= 2]
+        _set_bits(multi, um)
+        seen = _get_bits(once, uo)
+        _set_bits(multi, uo[seen])
+        _set_bits(once, uo)
+    return once, multi
+
+
+@ray.remote(num_returns=2)
+def _band_filter_sort_task(src_tbl: pa.Table, expand, bitmap: np.ndarray,
+                           m: int) -> tuple[pa.Table, int]:
+    """Expand one source block to band rows, drop bitmap singletons,
+    sort by band_hash, return a SINGLE-CHUNK table + its row count.
+    ``src_tbl`` and ``bitmap`` arrive as top-level object refs — Ray
+    dereferences both zero-copy and sequences this task after the
+    bitmap merge automatically."""
+    bt = expand(src_tbl) if expand is not None else src_tbl
+    h = np.asarray(bt["band_hash"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64).view(np.uint64)
+    slots = (h & np.uint64(m - 1)).astype(np.int64)
+    keep = _get_bits(bitmap, slots)
+    bh = h.view(np.int64)[keep]
+    fid = np.asarray(bt["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)[keep]
+    order = np.argsort(bh)
+    out = pa.table({"band_hash": pa.array(bh[order]),
+                    "file_id": pa.array(fid[order])})
+    return out, out.num_rows
+
+
+def _pairable_sorted_refs(src_refs: list, expand, n_rows: int
+                          ) -> tuple[list, int]:
+    """Raw-task singleton pre-filter over source block refs: grouped
+    bitmap tasks -> driver once/multi merge -> one filter+sort task per
+    block. The candidates stage runs with ZERO Ray Data executor
+    spin-ups on this path (the per-materialize fixed cost was a large
+    share of the stage at high CPU counts), and the band table is never
+    materialized — each task expands its block's bands in memory."""
+    import ray as _ray
+
+    m = _bitmap_m(n_rows)
+    nbytes = m >> 3
+    n_groups = min(32, max(1, len(src_refs)))
+    groups = [src_refs[i::n_groups] for i in range(n_groups)]
+    parts = _ray.get([_band_bitmap_task.remote(g, expand, m)
+                      for g in groups if g])
+    acc_once = np.zeros(nbytes, dtype=np.uint8)
+    acc_multi = np.zeros(nbytes, dtype=np.uint8)
+    for o, mlt in parts:
+        acc_multi |= mlt
+        acc_multi |= acc_once & o
+        acc_once |= o
+    bm_ref = _ray.put(acc_multi)
+    outs = [_band_filter_sort_task.remote(r, expand, bm_ref, m)
+            for r in src_refs]
+    counts = _ray.get([c for _t, c in outs])
+    return [t for t, _c in outs], int(sum(counts))
 
 
 #: Expand bucket pairs on the DRIVER while the FILTERED (singleton-free)
@@ -846,27 +939,37 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
               if isinstance(sigs, MaterializedDataset) else None)
     if n_sigs is None or n_sigs > BROADCAST_SIG_LIMIT:
         return candidate_pairs(bands, cfg, nparts, distinct=False), False
+    import functools
+
     import ray as _ray
 
-    # fire the sig8 narrow+merge FIRST: the merge task runs on a worker
-    # while the driver executes the bitmap and filter passes below (the
-    # old driver-side pull+sort+put of the sig arrays was ~1 s of serial
-    # time the whole candidate stage waited on)
+    # fire the sig8 narrow+merge FIRST: those tasks run on workers
+    # while the driver dispatches the bitmap and filter tasks below
+    # (the old driver-side pull+sort+put of the sig arrays was ~1 s of
+    # serial time the whole candidate stage waited on)
     est_ref = _sig8_ref(sigs, cfg)
-    pairable, n_pairable = _pairable_bands(
-        bands, n_rows_hint=n_sigs * cfg.lsh_bands)
+    # pure raw-task path over the signature blocks: bands are expanded
+    # in-task (never materialized), singleton-filtered, sorted — the
+    # candidates stage pays ZERO Ray Data executor spin-ups. ``bands``
+    # is ignored here because it is by contract band_rows(sigs, cfg)
+    # (the fallback paths below still consume it).
+    expand = functools.partial(_bands_from_sigs, cfg=cfg)
+    pair_refs, n_pairable = _pairable_sorted_refs(
+        sigs.to_arrow_refs(), expand, n_sigs * cfg.lsh_bands)
     if n_pairable > DRIVER_PAIR_EXPAND_LIMIT:
-        return _distributed_candidates(pairable, cfg, nparts,
-                                       False), False
+        return _distributed_candidates(
+            ray.data.from_arrow_refs(pair_refs), cfg, nparts,
+            False), False
     cap, window = cfg.bucket_cap, cfg.bucket_window
     if n_pairable == 0:
         return ray.data.from_arrow(_EMPTY_EST), True
     if n_pairable > _DRIVER_SORT_LIMIT:
-        refs = _expand_range_refs(pairable, cap, window, est_ref, cfg)
+        refs = [_expand_range_task.remote(pair_refs, lo, hi, cap,
+                                          window, est_ref, cfg)
+                for lo, hi in _range_bounds(_expand_parts())]
         merged = _merge_estimated(_ray.get(refs))
         return _est_blocks(merged, cfg), True
-    tbl = pa.concat_tables(pairable.iter_batches(
-        batch_format="pyarrow", batch_size=None)).combine_chunks()
+    tbl = pa.concat_tables(_ray.get(pair_refs)).combine_chunks()
     slices, _total = _driver_slices(tbl, cap, window, cfg)
     if not slices:
         return ray.data.from_arrow(_EMPTY_EST), True
@@ -1189,6 +1292,15 @@ def _sig8_to_u8_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
 
 
 @ray.remote
+def _sig8_block_task(tbl: pa.Table, num_perms: int) -> pa.Table:
+    """Narrow one signature block to its uint8 slices (raw-task form of
+    the ``_sig8_to_u8_batch`` map)."""
+    return _sig8_to_u8_batch(
+        tbl.select(["file_id", "minhash", "n_shingles", "simhash"]),
+        num_perms=num_perms)
+
+
+@ray.remote
 def _merge_sig8_task(block_refs: list, num_perms: int
                      ) -> tuple[np.ndarray, np.ndarray,
                                 np.ndarray, np.ndarray]:
@@ -1229,12 +1341,19 @@ def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
     """
     import functools
 
-    refs = (sigs.select_columns(
-        ["file_id", "minhash", "n_shingles", "simhash"])
-        .map_batches(functools.partial(_sig8_to_u8_batch,
-                                       num_perms=cfg.num_perms),
-                     batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs())
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(sigs, MaterializedDataset):
+        # raw tasks over the signature blocks — no executor spin-up
+        refs = [_sig8_block_task.remote(r, cfg.num_perms)
+                for r in sigs.to_arrow_refs()]
+    else:
+        refs = (sigs.select_columns(
+            ["file_id", "minhash", "n_shingles", "simhash"])
+            .map_batches(functools.partial(_sig8_to_u8_batch,
+                                           num_perms=cfg.num_perms),
+                         batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs())
     return _merge_sig8_task.remote(refs, cfg.num_perms)
 
 
@@ -1538,8 +1657,7 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         pairs = pairs.repartition(4 * _pool_max(cfg),
                                   shuffle=False).materialize()
 
-    slim = docs.select_columns(["file_id", "content"])
-    both = _fetch_pair_contents(pairs, slim, nparts)
+    both = _fetch_pair_contents(pairs, docs, nparts)
     import functools
 
     return both.map_batches(
@@ -1571,14 +1689,15 @@ BROADCAST_PAIR_LIMIT = gate(1_000_000)
 
 
 def _fetch_pair_contents(pairs: ray.data.Dataset,
-                         slim_docs: ray.data.Dataset,
+                         docs: ray.data.Dataset,
                          nparts: int) -> ray.data.Dataset:
     """Attach content_a/content_b to pairs.
 
     Small pair sets: collect the referenced file_ids, FILTER the doc
-    table in one streaming pass (no shuffle), broadcast the id→content
-    map via ``ray.put``, and attach per batch. Large pair sets: two hash
-    joins (content rides each exactly once).
+    table (raw tasks over a materialized table's block refs, else one
+    streaming pass), and attach per batch from the filtered blocks'
+    refs. Large pair sets: two hash joins (content rides each exactly
+    once).
     """
     import ray
 
@@ -1598,45 +1717,99 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
                   else np.empty(0, dtype=np.int64))
         id_arr = pa.array(needed)
 
-        def keep(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch["file_id"],
-                                         value_set=id_arr))
+        # the filtered content blocks STAY in the object store: the
+        # attach map receives their refs and builds a per-process
+        # lookup (sorted ids + a zero-copy chunked content column) on
+        # first use — the content bytes are never pulled to the driver,
+        # never re-put, and never re-ordered (the driver pull + take +
+        # put this replaces was ~GBs of serial copying at 10^6 pairs).
+        # A materialized doc table is filtered by raw tasks over its
+        # block refs (no executor spin-up); lazy inputs keep the
+        # executor map.
+        from ray.data.dataset import MaterializedDataset
 
-        # broadcast as a SORTED arrow table (ids + contents) — arrow
-        # buffers serialize without per-string Python objects, and the
-        # attach step is a vectorized searchsorted + take
-        parts = [b for b in slim_docs.map_batches(
-            keep, batch_format="pyarrow",
-            batch_size=None).iter_batches(
-            batch_format="pyarrow", batch_size=None)]
-        tbl = (pa.concat_tables(parts) if parts
-               else pa.table({"file_id": pa.array([], pa.int64()),
-                              "content": pa.array([], pa.string())}))
-        ids_np = np.asarray(tbl["file_id"].to_numpy(
-            zero_copy_only=False), dtype=np.int64)
-        order = np.argsort(ids_np)
-        sorted_ids = ids_np[order]
-        contents = tbl["content"].combine_chunks().take(pa.array(order))
-        handle = ray.put((sorted_ids, contents))
+        if isinstance(docs, MaterializedDataset):
+            needed_ref = ray.put(needed)
+            content_refs = tuple(
+                _filter_content_block_task.remote(r, needed_ref)
+                for r in docs.to_arrow_refs())
+        else:
+            def keep(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch["file_id"],
+                                             value_set=id_arr))
+
+            content_refs = tuple(docs.select_columns(
+                ["file_id", "content"]).map_batches(
+                keep, batch_format="pyarrow",
+                batch_size=None).to_arrow_refs())
 
         def attach(batch: pa.Table) -> pa.Table:
-            sids, scontent = ray.get(handle)
-            ia = np.searchsorted(sids, np.asarray(
+            sids, order, contents = _content_index(content_refs)
+            ia = order[np.searchsorted(sids, np.asarray(
                 batch["a"].to_numpy(zero_copy_only=False),
-                dtype=np.int64))
-            ib = np.searchsorted(sids, np.asarray(
+                dtype=np.int64))]
+            ib = order[np.searchsorted(sids, np.asarray(
                 batch["b"].to_numpy(zero_copy_only=False),
-                dtype=np.int64))
+                dtype=np.int64))]
             return (batch
                     .append_column("content_a",
-                                   scontent.take(pa.array(ia)))
+                                   contents.take(pa.array(ia)))
                     .append_column("content_b",
-                                   scontent.take(pa.array(ib))))
+                                   contents.take(pa.array(ib))))
 
         return pairs.map_batches(attach, batch_format="pyarrow",
                                  batch_size=None)
 
-    return _join_both_sides(pairs, slim_docs, "content", "content", nparts)
+    return _join_both_sides(
+        pairs, docs.select_columns(["file_id", "content"]), "content",
+        "content", nparts)
+
+
+@ray.remote
+def _filter_content_block_task(tbl: pa.Table,
+                               needed_sorted: np.ndarray) -> pa.Table:
+    """Keep the (file_id, content) rows whose id is in the sorted
+    needed-id array (vectorized searchsorted membership)."""
+    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    if len(needed_sorted) == 0 or tbl.num_rows == 0:
+        return tbl.select(["file_id", "content"]).slice(0, 0)
+    pos = np.minimum(np.searchsorted(needed_sorted, fid),
+                     len(needed_sorted) - 1)
+    mask = needed_sorted[pos] == fid
+    return tbl.select(["file_id", "content"]).filter(pa.array(mask))
+
+
+#: per-worker-process cache of the content lookup built from broadcast
+#: block refs (bounded: cleared when a new pair-set's refs arrive)
+_CONTENT_REF_CACHE: dict[tuple, tuple] = {}
+
+
+def _content_index(content_refs: tuple):
+    """(sorted file_ids, original-position permutation, zero-copy
+    chunked content column) for the filtered doc blocks — built once
+    per worker process from plasma refs; the content strings are never
+    copied (concat keeps chunks; ``take`` gathers per batch only)."""
+    key = tuple(r.hex() for r in content_refs)
+    hit = _CONTENT_REF_CACHE.get(key)
+    if hit is None:
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(list(content_refs)) if t.num_rows]
+        if tabs:
+            tbl = pa.concat_tables(tabs)
+            ids = np.asarray(tbl["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            order = np.argsort(ids)
+            hit = (ids[order], order, tbl["content"])
+        else:
+            hit = (np.empty(0, dtype=np.int64),
+                   np.empty(0, dtype=np.int64),
+                   pa.chunked_array([], pa.string()))
+        if len(_CONTENT_REF_CACHE) >= 2:
+            _CONTENT_REF_CACHE.clear()
+        _CONTENT_REF_CACHE[key] = hit
+    return hit
 
 
 def duplicate_edges(verified: ray.data.Dataset,

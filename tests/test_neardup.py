@@ -493,14 +493,25 @@ def test_exact_task_partition_matches_driver(small_corpus_dir, monkeypatch):
         edges = {(r["a"], r["b"]) for r in p.exact_edges().take_all()}
         return groups, reps, edges
 
-    base = snapshot(NearDupPipeline(
-        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG))
+    def labels(p):
+        return {r["file_id"]: r["cluster_id"]
+                for r in p.clusters().take_all()}
+
+    base_pipe = NearDupPipeline(
+        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG)
+    base = snapshot(base_pipe)
+    base_labels = labels(base_pipe)
     monkeypatch.setattr(pn, "TASK_GROUP_LIMIT", 0)
-    tasked = snapshot(NearDupPipeline(
-        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG))
+    task_pipe = NearDupPipeline(
+        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG)
+    tasked = snapshot(task_pipe)
     assert base[0] == tasked[0] and len(base[0]) > 0
     assert base[1] == tasked[1]
     assert base[2] == tasked[2] and len(base[2]) > 0
+    # the raw-task cluster path (near-edge tasks + exact edge refs +
+    # driver CC) only engages on the task-partitioned exact path —
+    # labels must match the generic materialize/union path exactly
+    assert labels(task_pipe) == base_labels and len(base_labels) > 0
 
 
 def test_sort_block_tasks_handle_multichunk_unsorted_blocks():
