@@ -77,7 +77,9 @@ def read_dataset(out_dir: str) -> ray.data.Dataset:
 
 def export_files(ds: ray.data.Dataset, root: str,
                  path_col: str = "path", content_col: str = "content",
-                 on_exists: str = "overwrite") -> dict:
+                 on_exists: str = "overwrite",
+                 retrieval: str = "persist",
+                 id_col: str = "file_id") -> dict:
     """Byte-export sink: write each row's content to ``root/<path>``,
     creating parent directories.
 
@@ -85,13 +87,28 @@ def export_files(ds: ray.data.Dataset, root: str,
     include/FileService.h:183-312) with its parent-dir policy
     (CreateMissing) and exists policies mapped to ``on_exists``:
     "overwrite" (ReplaceWithNew, include/fileUtils.h:35-40), "skip"
-    (PreserveOld), "error". Runs DISTRIBUTED — each task writes its
-    batch's files (valid on one node or a shared filesystem; on a
-    multi-node cluster point ``root`` at shared storage). Returns
-    {"written", "skipped", "root"}.
+    (PreserveOld), "error". ``retrieval`` maps the reference's
+    dataRetrievalStrategy (include/FileService.h:237-247): "persist"
+    leaves the store untouched; "remove" additionally returns the
+    exported ``id_col`` values under ``"removed_ids"`` — feed them to
+    ``NearDupPipeline.without_files`` / ``exact.delete_files`` (the
+    store is derived lineage here, so removal IS a recompute-without).
+    Runs DISTRIBUTED — each task writes its batch's files (valid on one
+    node or a shared filesystem; on a multi-node cluster point ``root``
+    at shared storage). Returns {"written", "skipped", "root"}
+    (+ "removed_ids" for retrieval="remove").
     """
     if on_exists not in ("overwrite", "skip", "error"):
         raise ValueError(f"bad on_exists: {on_exists}")
+    if retrieval not in ("persist", "remove"):
+        raise ValueError(f"bad retrieval: {retrieval}")
+    if retrieval == "remove":
+        ids = sorted({r[id_col] for r in
+                      ds.select_columns([id_col]).take_all()})
+        out = export_files(ds, root, path_col, content_col, on_exists,
+                           retrieval="persist")
+        out["removed_ids"] = ids
+        return out
     os.makedirs(root, exist_ok=True)
 
     def write_batch(batch):

@@ -14,6 +14,8 @@ import hashlib
 import pytest
 
 from data_deduplication_service_ray.config import PipelineConfig
+
+CFG = PipelineConfig()
 from data_deduplication_service_ray.pipelines.dedup_core import DedupCore
 from data_deduplication_service_ray.sources.readers import read_corpus
 from data_deduplication_service_ray.stages import exact
@@ -221,3 +223,28 @@ def test_input_validation_clear_errors(tmp_path):
     junk.write_bytes(b"this is not parquet at all")
     with pytest.raises(ValueError, match="not readable parquet"):
         read_corpus(str(junk))
+
+
+def test_export_retrieval_remove_returns_ids(small_corpus_dir, tmp_path):
+    """retrieval="remove" (the reference's dataRetrievalStrategy,
+    include/FileService.h:237-247) must export the same tree AND hand
+    back the exported file ids for the delete path."""
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+    from data_deduplication_service_ray.sources.readers import read_corpus
+    from data_deduplication_service_ray.sources.writers import export_files
+
+    docs = read_corpus(f"{small_corpus_dir}/corpus.parquet").limit(20)
+    docs = docs.materialize()
+    res = export_files(docs, str(tmp_path / "out"),
+                       retrieval="remove")
+    assert res["written"] > 0
+    ids = res["removed_ids"]
+    assert ids == sorted({r["file_id"] for r in
+                          docs.select_columns(["file_id"]).take_all()})
+    # feeding the ids to without_files drops them from the pipeline
+    p = NearDupPipeline(
+        read_corpus(f"{small_corpus_dir}/corpus.parquet"), CFG)
+    p2 = p.without_files(set(ids))
+    remaining = {r["file_id"] for r in p2.sha_fid().take_all()}
+    assert not (remaining & set(ids))
