@@ -18,10 +18,29 @@ from data_deduplication_service_ray.functions.hashing import sha256_hex
 
 def with_sha256(ds: ray.data.Dataset,
                 content_col: str = "content") -> ray.data.Dataset:
-    """Append ``content_sha256`` (lowercase hex, matches DuckDB sha256())."""
+    """Append ``content_sha256`` (lowercase hex, matches DuckDB sha256()).
+
+    Hashes straight from the Arrow value buffer (utf-8 bytes — exactly
+    what ``text.encode()`` would produce) via memoryview slices: no
+    Python string materialization, no re-encode; only the per-row
+    hashlib call remains (the reference hashes per file too,
+    lib/dbManager.cpp:212-233)."""
+    import hashlib
+
+    import numpy as np
 
     def add(batch: pa.Table) -> pa.Table:
-        hexes = sha256_hex(batch[content_col].to_pylist())
+        col = batch[content_col].combine_chunks()
+        if len(col) and col.null_count == 0:
+            off_dt = (np.int64 if pa.types.is_large_string(col.type)
+                      else np.int32)
+            offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+                col.offset:col.offset + len(col) + 1].tolist()
+            mv = memoryview(col.buffers()[2])
+            hexes = [hashlib.sha256(mv[a:b]).hexdigest()
+                     for a, b in zip(offs, offs[1:])]
+        else:
+            hexes = sha256_hex(t or "" for t in col.to_pylist())
         return batch.append_column("content_sha256",
                                    pa.array(hexes, pa.string()))
 
