@@ -146,8 +146,7 @@ def _exact_group_task(block_refs: list, k: int, nparts: int
         i1 = len(s) if hi_a is None else int(np.searchsorted(s, hi_a)[0])
         if i1 > i0:
             ss_l.append(s[i0:i1])
-            ff_l.append(np.asarray(t["file_id"].to_numpy(
-                zero_copy_only=False), dtype=np.int64)[i0:i1])
+            ff_l.append(neardup._i64_view(t["file_id"])[i0:i1])
     empty_groups = pa.table({
         "content_sha256": pa.array([], pa.string()),
         "file_id": pa.array([], pa.int64()),

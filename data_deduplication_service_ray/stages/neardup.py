@@ -55,6 +55,26 @@ def fsb_from_matrix(mat: np.ndarray) -> pa.Array:
     return pa.Array.from_buffers(pa.binary(width), n, [None, buf])
 
 
+def _i64_view(col) -> np.ndarray:
+    """Zero-copy int64 view of a no-null column (Array or single-chunk
+    ChunkedArray); copies only when it must. ``ChunkedArray.to_numpy``
+    COPIES even single-chunk data — range tasks binary-searching every
+    block paid nparts copies of the whole table through that (13.8 GB
+    at 27M rows x 64 tasks)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            col = col.chunk(0)
+        else:
+            return np.asarray(col.to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+    try:
+        return np.asarray(col.to_numpy(zero_copy_only=True),
+                          dtype=np.int64)
+    except pa.ArrowInvalid:
+        return np.asarray(col.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+
+
 def fsb_to_matrix(col: pa.ChunkedArray, dtype) -> np.ndarray:
     """FixedSizeBinary column -> (n, w) matrix view, zero-copy."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -189,6 +209,19 @@ def _bands_from_sigs(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
         "band_hash": _as_i64(bh.reshape(-1)),
         "file_id": pa.array(np.repeat(fid, cfg.lsh_bands)),
     })
+
+
+def _bands_from_sigs_indexed(batch: pa.Table, *, cfg: PipelineConfig,
+                             offset: int) -> pa.Table:
+    """``_bands_from_sigs`` plus a positional sig-index column:
+    fidx = global row number of the doc in the CONCAT order of the sig
+    blocks (= the row order of the unsorted sig8 merge), letting the
+    fused estimate gather signatures with no id lookup at all."""
+    out = _bands_from_sigs(batch, cfg=cfg)
+    idx = np.repeat(
+        np.arange(offset, offset + batch.num_rows, dtype=np.int32),
+        cfg.lsh_bands)
+    return out.append_column("fidx", pa.array(idx))
 
 
 def band_rows(sigs: ray.data.Dataset, cfg: PipelineConfig
@@ -382,8 +415,7 @@ def _band_bitmap_task(src_refs: list, expand, m: int
     for ref in src_refs:
         t = ray.get(ref)
         bt = expand(t) if expand is not None else t
-        h = np.asarray(bt["band_hash"].to_numpy(zero_copy_only=False),
-                       dtype=np.int64).view(np.uint64)
+        h = _i64_view(bt["band_hash"]).view(np.uint64)
         slots = (h & np.uint64(m - 1)).astype(np.int64)
         u, c = np.unique(slots, return_counts=True)
         uo, um = u[c == 1], u[c >= 2]
@@ -403,20 +435,24 @@ def _band_filter_sort_task(src_tbl: pa.Table, expand, bitmap: np.ndarray,
     dereferences both zero-copy and sequences this task after the
     bitmap merge automatically."""
     bt = expand(src_tbl) if expand is not None else src_tbl
-    h = np.asarray(bt["band_hash"].to_numpy(zero_copy_only=False),
-                   dtype=np.int64).view(np.uint64)
+    h = _i64_view(bt["band_hash"]).view(np.uint64)
     slots = (h & np.uint64(m - 1)).astype(np.int64)
     keep = _get_bits(bitmap, slots)
     bh = h.view(np.int64)[keep]
-    fid = np.asarray(bt["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)[keep]
+    fid = _i64_view(bt["file_id"])[keep]
     order = np.argsort(bh)
-    out = pa.table({"band_hash": pa.array(bh[order]),
-                    "file_id": pa.array(fid[order])})
+    cols = {"band_hash": pa.array(bh[order]),
+            "file_id": pa.array(fid[order])}
+    if "fidx" in bt.column_names:
+        fidx = np.asarray(bt["fidx"].chunk(0).to_numpy(
+            zero_copy_only=True), dtype=np.int32)[keep]
+        cols["fidx"] = pa.array(fidx[order])
+    out = pa.table(cols)
     return out, out.num_rows
 
 
-def _pairable_sorted_refs(src_refs: list, expand, n_rows: int
+def _pairable_sorted_refs(src_refs: list, expand, n_rows: int,
+                          filter_expands: list | None = None
                           ) -> tuple[list, int]:
     """Raw-task singleton pre-filter over source block refs: grouped
     bitmap tasks -> driver once/multi merge -> one filter+sort task per
@@ -430,17 +466,23 @@ def _pairable_sorted_refs(src_refs: list, expand, n_rows: int
     nbytes = m >> 3
     n_groups = min(32, max(1, len(src_refs)))
     groups = [src_refs[i::n_groups] for i in range(n_groups)]
-    parts = _ray.get([_band_bitmap_task.remote(g, expand, m)
-                      for g in groups if g])
+    futs = [_band_bitmap_task.remote(g, expand, m)
+            for g in groups if g]
     acc_once = np.zeros(nbytes, dtype=np.uint8)
     acc_multi = np.zeros(nbytes, dtype=np.uint8)
-    for o, mlt in parts:
+    # merge in COMPLETION order (the once&once->multi rule is
+    # commutative/associative over part summaries), overlapping the
+    # driver's OR passes with the straggler tasks
+    while futs:
+        done, futs = _ray.wait(futs, num_returns=1)
+        o, mlt = _ray.get(done[0])
         acc_multi |= mlt
         acc_multi |= acc_once & o
         acc_once |= o
     bm_ref = _ray.put(acc_multi)
-    outs = [_band_filter_sort_task.remote(r, expand, bm_ref, m)
-            for r in src_refs]
+    fx = filter_expands or [expand] * len(src_refs)
+    outs = [_band_filter_sort_task.remote(r, fx[i], bm_ref, m)
+            for i, r in enumerate(src_refs)]
     counts = _ray.get([c for _t, c in outs])
     return [t for t, _c in outs], int(sum(counts))
 
@@ -515,13 +557,23 @@ def _expand_hot_sorted(bhs: np.ndarray, fids: np.ndarray,
 
 
 def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
-                         window: int) -> pa.Table:
+                         window: int,
+                         emit: np.ndarray | None = None) -> pa.Table:
     """Expand one bucket-aligned sorted slice: all-pairs for bucket
     sizes 2..cap, window edges beyond cap. Slices always contain WHOLE
-    buckets, so per-slice run detection is globally exact."""
+    buckets, so per-slice run detection is globally exact.
+
+    ``emit`` (default: the file ids) is the value array the pairs are
+    built FROM — the fused estimate path passes positional sig indices
+    here while run detection and ordering still use (band_hash,
+    file_id), so the emitted pair set is identical in id space (and
+    smaller-id-first order is preserved: position i < j within a
+    fid-sorted run implies id_i < id_j)."""
     n = len(bhs)
     if n == 0:
         return _EMPTY_PAIRS
+    if emit is None:
+        emit = fids
     new = np.ones(n, dtype=bool)
     new[1:] = bhs[1:] != bhs[:-1]
     sizes = np.diff(np.append(np.flatnonzero(new), n))
@@ -529,10 +581,10 @@ def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
     tabs = []
     cold = (row_sizes >= 2) & (row_sizes <= cap)
     if cold.any():
-        tabs.append(_expand_cold_sorted(bhs[cold], fids[cold]))
+        tabs.append(_expand_cold_sorted(bhs[cold], emit[cold]))
     hot = row_sizes > cap
     if hot.any():
-        tabs.append(_expand_hot_sorted(bhs[hot], fids[hot], window))
+        tabs.append(_expand_hot_sorted(bhs[hot], emit[hot], window))
     if not tabs:
         return _EMPTY_PAIRS
     return pa.concat_tables(tabs)
@@ -541,12 +593,17 @@ def _expand_sorted_slice(bhs: np.ndarray, fids: np.ndarray, cap: int,
 def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
                            cap: int, window: int,
                            est: tuple | None,
-                           cfg: PipelineConfig | None) -> pa.Table:
+                           cfg: PipelineConfig | None,
+                           fidx: np.ndarray | None = None) -> pa.Table:
     """``est`` is the resolved sig8 array tuple — callers pass the
     ``_sig8_ref`` ObjectRef as a TOP-LEVEL task argument, which Ray
     dereferences zero-copy before the task body runs (and makes the
-    expansion tasks wait on the merge task automatically)."""
-    out = _expand_sorted_slice(bhs, fids, cap, window)
+    expansion tasks wait on the merge task automatically). With
+    ``fidx`` (positional sig indices aligned with the rows) the pairs
+    are emitted as index pairs and the estimate gathers positionally —
+    no per-occurrence binary search (which measured 2.3 s of the 2.5 s
+    kernel at 2.7M occurrences)."""
+    out = _expand_sorted_slice(bhs, fids, cap, window, emit=fidx)
     if est is None:
         return out
     sids, smat, snsh, ssim = est
@@ -557,7 +614,9 @@ def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
     cp = np.asarray(out["capped"].to_numpy(zero_copy_only=False),
                     dtype=bool)
     return _est_unique_score(a, b, cp, sids, smat, snsh, ssim, cfg,
-                             "n_bands")
+                             "n_bands",
+                             are_indices=fidx is not None,
+                             ids_sorted=fidx is None and _is_sorted(sids))
 
 
 @ray.remote
@@ -588,10 +647,8 @@ def _sort_band_block_task(tbl: pa.Table) -> pa.Table:
     2-chunk blocks, each chunk sorted, the block not), silently
     splitting buckets across range tasks. Task outputs bypass the
     executor's bundling entirely."""
-    bh = np.asarray(tbl["band_hash"].to_numpy(zero_copy_only=False),
-                    dtype=np.int64)
-    fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
+    bh = _i64_view(tbl["band_hash"])
+    fid = _i64_view(tbl["file_id"])
     order = np.argsort(bh)
     return pa.table({"band_hash": pa.array(bh[order]),
                      "file_id": pa.array(fid[order])})
@@ -610,27 +667,34 @@ def _expand_range_task(block_refs: list, lo: int, hi: int | None,
     sort+expand(+estimate). band_hash is splitmix-mixed, so equal-width
     int64 ranges are uniform and buckets (equal keys) stay whole per
     range."""
-    bs, fs = [], []
+    bs, fs, xs = [], [], []
+    indexed = False
     for ref in block_refs:
         t = ray.get(ref)
-        bh = np.asarray(t["band_hash"].to_numpy(zero_copy_only=False),
-                        dtype=np.int64)
+        bh = _i64_view(t["band_hash"])
         i0 = int(np.searchsorted(bh, lo, side="left"))
         i1 = (len(bh) if hi is None
               else int(np.searchsorted(bh, hi, side="left")))
         if i1 > i0:
             bs.append(bh[i0:i1])
-            fs.append(np.asarray(t["file_id"].to_numpy(
-                zero_copy_only=False), dtype=np.int64)[i0:i1])
+            fs.append(_i64_view(t["file_id"])[i0:i1])
+            if "fidx" in t.column_names:
+                indexed = True
+                xs.append(np.asarray(
+                    t["fidx"].chunk(0).to_numpy(zero_copy_only=True),
+                    dtype=np.int32)[i0:i1])
     if not bs:
         bhs = np.empty(0, dtype=np.int64)
         fids = np.empty(0, dtype=np.int64)
+        fidx = None
     else:
         bhs = np.concatenate(bs)
         fids = np.concatenate(fs)
         order = np.lexsort((fids, bhs))
         bhs, fids = bhs[order], fids[order]
-    return _expand_maybe_estimate(bhs, fids, cap, window, est, cfg)
+        fidx = np.concatenate(xs)[order] if indexed else None
+    return _expand_maybe_estimate(bhs, fids, cap, window, est, cfg,
+                                  fidx=fidx)
 
 
 def _expand_parts() -> int:
@@ -946,20 +1010,29 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
     # fire the sig8 narrow+merge FIRST: those tasks run on workers
     # while the driver dispatches the bitmap and filter tasks below
     # (the old driver-side pull+sort+put of the sig arrays was ~1 s of
-    # serial time the whole candidate stage waited on)
-    est_ref = _sig8_ref(sigs, cfg)
+    # serial time the whole candidate stage waited on). The merge keeps
+    # CONCAT order and the filter tasks attach the positional sig index
+    # (block offset + row) to every band row, so the estimate gathers
+    # signatures with NO id lookup anywhere — the per-occurrence binary
+    # search was 2.3 s of a 2.5 s kernel at 2.7M occurrences/task.
+    src_refs = sigs.to_arrow_refs()
+    est_ref, offsets = _sig8_indexed(src_refs, cfg)
     # pure raw-task path over the signature blocks: bands are expanded
     # in-task (never materialized), singleton-filtered, sorted — the
     # candidates stage pays ZERO Ray Data executor spin-ups. ``bands``
     # is ignored here because it is by contract band_rows(sigs, cfg)
     # (the fallback paths below still consume it).
     expand = functools.partial(_bands_from_sigs, cfg=cfg)
+    filter_expands = [
+        functools.partial(_bands_from_sigs_indexed, cfg=cfg,
+                          offset=int(offsets[i]))
+        for i in range(len(src_refs))]
     pair_refs, n_pairable = _pairable_sorted_refs(
-        sigs.to_arrow_refs(), expand, n_sigs * cfg.lsh_bands)
+        src_refs, expand, n_sigs * cfg.lsh_bands, filter_expands)
     if n_pairable > DRIVER_PAIR_EXPAND_LIMIT:
         return _distributed_candidates(
-            ray.data.from_arrow_refs(pair_refs), cfg, nparts,
-            False), False
+            ray.data.from_arrow_refs(pair_refs).drop_columns(["fidx"]),
+            cfg, nparts, False), False
     cap, window = cfg.bucket_cap, cfg.bucket_window
     if n_pairable == 0:
         return ray.data.from_arrow(_EMPTY_EST), True
@@ -969,12 +1042,14 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
                 for lo, hi in _range_bounds(_expand_parts())]
         merged = _merge_estimated(_ray.get(refs))
         return _est_blocks(merged, cfg), True
-    tbl = pa.concat_tables(_ray.get(pair_refs)).combine_chunks()
+    tbl = pa.concat_tables(_ray.get(pair_refs)).drop_columns(
+        ["fidx"]).combine_chunks()
     slices, _total = _driver_slices(tbl, cap, window, cfg)
     if not slices:
         return ray.data.from_arrow(_EMPTY_EST), True
     if len(slices) == 1 and slices[0][2]:
-        # single slice: expand + estimate inline on the driver
+        # single slice: expand + estimate inline on the driver (ids,
+        # not indices — the est tuple is unsorted, hence the sorter)
         out = _expand_sorted_slice(slices[0][0], slices[0][1], cap,
                                    window)
         a = np.asarray(out["a"].to_numpy(zero_copy_only=False),
@@ -985,7 +1060,7 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
                         dtype=bool)
         sids, smat, snsh, ssim = _ray.get(est_ref)
         merged = _est_unique_score(a, b, cp, sids, smat, snsh, ssim,
-                                   cfg, "n_bands")
+                                   cfg, "n_bands", ids_sorted=False)
         return _est_blocks(merged, cfg), True
     refs = [_expand_slice_task.remote(bh, fi, ps, cap, window,
                                       est_ref, cfg)
@@ -1291,23 +1366,29 @@ def _sig8_to_u8_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
     })
 
 
-@ray.remote
-def _sig8_block_task(tbl: pa.Table, num_perms: int) -> pa.Table:
+@ray.remote(num_returns=2)
+def _sig8_block_task(tbl: pa.Table, num_perms: int
+                     ) -> tuple[pa.Table, int]:
     """Narrow one signature block to its uint8 slices (raw-task form of
-    the ``_sig8_to_u8_batch`` map)."""
-    return _sig8_to_u8_batch(
+    the ``_sig8_to_u8_batch`` map) + its row count (the fused path
+    needs per-block offsets for positional indexing)."""
+    out = _sig8_to_u8_batch(
         tbl.select(["file_id", "minhash", "n_shingles", "simhash"]),
         num_perms=num_perms)
+    return out, out.num_rows
 
 
 @ray.remote
-def _merge_sig8_task(block_refs: list, num_perms: int
+def _merge_sig8_task(block_refs: list, num_perms: int,
+                     sort: bool = True
                      ) -> tuple[np.ndarray, np.ndarray,
                                 np.ndarray, np.ndarray]:
-    """Concat + id-sort the narrowed sig8 blocks in ONE worker task so
-    the driver never holds (or re-puts) the signature arrays; the
-    returned tuple lands in plasma as the task output and every
-    consumer maps it zero-copy."""
+    """Concat (+ optionally id-sort) the narrowed sig8 blocks in ONE
+    worker task so the driver never holds (or re-puts) the signature
+    arrays; the returned tuple lands in plasma as the task output and
+    every consumer maps it zero-copy. ``sort=False`` keeps CONCAT
+    (block) order — the fused path indexes it positionally via the
+    per-block offsets, so no sort and no id lookups exist anywhere."""
     tbl = pa.concat_tables([ray.get(r) for r in block_refs])
     ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
@@ -1319,6 +1400,8 @@ def _merge_sig8_task(block_refs: list, num_perms: int
                      dtype=np.int64)
     sim = np.asarray(tbl["simhash"].to_numpy(zero_copy_only=False),
                      dtype=np.int64).view(np.uint64)
+    if not sort:
+        return ids, np.ascontiguousarray(mat), nsh, sim
     order = np.argsort(ids)
     return ids[order], mat[order], nsh[order], sim[order]
 
@@ -1345,8 +1428,9 @@ def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
 
     if isinstance(sigs, MaterializedDataset):
         # raw tasks over the signature blocks — no executor spin-up
-        refs = [_sig8_block_task.remote(r, cfg.num_perms)
-                for r in sigs.to_arrow_refs()]
+        refs = [t for t, _c in
+                (_sig8_block_task.remote(r, cfg.num_perms)
+                 for r in sigs.to_arrow_refs())]
     else:
         refs = (sigs.select_columns(
             ["file_id", "minhash", "n_shingles", "simhash"])
@@ -1357,6 +1441,18 @@ def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
     return _merge_sig8_task.remote(refs, cfg.num_perms)
 
 
+def _sig8_indexed(src_refs: list, cfg: PipelineConfig):
+    """(unsorted est tuple ref, per-block row offsets) for the fused
+    positional-index path: narrow tasks per sig block, offsets from
+    their counts, one UNSORTED merge task."""
+    outs = [_sig8_block_task.remote(r, cfg.num_perms) for r in src_refs]
+    counts = ray.get([c for _t, c in outs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    est_ref = _merge_sig8_task.remote([t for t, _c in outs],
+                                      cfg.num_perms, False)
+    return est_ref, offsets
+
+
 def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Driver-resident copy of the sig8 arrays (see ``_sig8_ref``);
@@ -1364,18 +1460,32 @@ def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
     return ray.get(_sig8_ref(sigs, cfg))
 
 
+def _is_sorted(x: np.ndarray) -> bool:
+    return len(x) < 2 or bool(np.all(x[:-1] <= x[1:]))
+
+
 def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
                       sids: np.ndarray, smat: np.ndarray,
                       snsh: np.ndarray, ssim: np.ndarray,
-                      cfg: PipelineConfig, count_col: str) -> pa.Table:
+                      cfg: PipelineConfig, count_col: str,
+                      are_indices: bool = False,
+                      ids_sorted: bool = True) -> pa.Table:
     """Shared estimate core: compress occurrence rows to unique pairs
     via a PACKED dense-index key (ia<<32 | ib — both sides index the
-    sorted signature id array, so one 1-D int64 ``np.unique`` replaces
-    the ~5x-slower 2-column ``axis=0`` unique and the unique order still
-    equals (a, b) lexicographic), then ONE uint8 slice gather + slot
-    compare per unique pair with the adaptive cut. The exact ``hamming``
-    rides along (popcount of the gathered simhashes) so the content
-    verifier never recomputes SimHash."""
+    signature arrays positionally, so one 1-D int64 ``np.unique``
+    replaces the ~5x-slower 2-column ``axis=0`` unique), then ONE uint8
+    slice gather + slot compare per unique pair with the adaptive cut.
+    The exact ``hamming`` rides along (popcount of the gathered
+    simhashes) so the content verifier never recomputes SimHash.
+
+    ``are_indices=True``: a/b already ARE positional indices into the
+    sig arrays (the fused range path — no binary search at all; at 2.7M
+    occurrences per task the per-occurrence searchsorted was 2.3 s of a
+    2.5 s kernel). The emitted index pairs put the smaller FILE ID
+    first (``_expand_sorted_slice``), so output order/content matches
+    the id-based path exactly. ``ids_sorted=False`` handles an
+    unsorted ``sids`` via a sorter argsort (the fused small path shares
+    the unsorted broadcast tuple)."""
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       count_col: pa.array([], pa.int64()),
@@ -1384,8 +1494,15 @@ def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
                       "hamming": pa.array([], pa.int64())})
     if len(a) == 0:
         return empty
-    ia = np.searchsorted(sids, a)
-    ib = np.searchsorted(sids, b)
+    if are_indices:
+        ia, ib = a, b
+    elif ids_sorted:
+        ia = np.searchsorted(sids, a)
+        ib = np.searchsorted(sids, b)
+    else:
+        sorter = np.argsort(sids)
+        ia = sorter[np.searchsorted(sids, a, sorter=sorter)]
+        ib = sorter[np.searchsorted(sids, b, sorter=sorter)]
     # Pack the capped flag into bit 0 so ONE sort-based
     # unique(+counts) covers pair dedup, occurrence counting AND
     # capped-any in a single pass — the return_inverse variant this
