@@ -981,15 +981,18 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
     """Fused LSH expansion + estimate prefilter + distinct.
 
     When the signature table fits the broadcast gate and the filtered
-    band table fits one driver pull, the estimate prefilter runs INSIDE
-    the bucket-aligned expansion tasks (sig8 arrays shipped once via
-    ray.put, read zero-copy by every task): the raw per-band occurrence
-    table — dozens of bytes x bands x corpus, the near-dup pipeline's
-    single largest intermediate — never round-trips through the object
-    store, and the est map + distinct executions disappear. Per-slice
-    survivors are merged on the driver (survivor volume ∝ the duplicate
-    population, not the corpus). Returns (dataset, True) with
-    distinct-pair schema (a, b, n_bands, capped, est, hamming).
+    band table fits the expansion gate, the whole stage runs as raw
+    Ray tasks over the signature blocks (zero executor spin-ups): sig8
+    narrow tasks + one unsorted merge task, grouped bitmap tasks,
+    per-block filter+sort tasks that attach POSITIONAL sig indices,
+    and band_hash-range expansion tasks in which the estimate gathers
+    signatures by index (no id lookups anywhere). The raw per-band
+    occurrence table — dozens of bytes x bands x corpus, the near-dup
+    pipeline's single largest intermediate — never exists, and the est
+    map + distinct executions disappear. Per-range survivors are merged
+    on the driver (survivor volume ∝ the duplicate population, not the
+    corpus). Returns (dataset, True) with distinct-pair schema
+    (a, b, n_bands, capped, est, hamming).
 
     Outside the gates, falls back to the raw occurrence path and
     returns (occurrences, False) — the caller runs the distributed
