@@ -955,9 +955,16 @@ def _est_blocks(merged: pa.Table, cfg: PipelineConfig) -> ray.data.Dataset:
     the content-attach + verify maps get task parallelism without a
     repartition execution (from_arrow with a table list creates the
     blocks directly; a 1-block dataset would serialize the verify map,
-    and repartition costs an executor spin-up)."""
+    and repartition costs an executor spin-up).
+
+    The block count is a pure function of the PAIR count, not the
+    cluster size: the verifier's per-process shingle cache means total
+    re-shingling work grows with the number of blocks, so a
+    CPU-dependent count made the same job do LESS work on fewer CPUs —
+    distorting the N-vs-4N comparison and tying the layout to the
+    cluster (a real cluster derives layout from data)."""
     n = merged.num_rows
-    k = min(4 * _pool_max(cfg), max(1, n // 2000 + 1))
+    k = min(128, max(1, n // 2000 + 1))
     step = -(-n // k) if n else 1
     if n == 0 or k <= 1:
         return ray.data.from_arrow(merged)
@@ -1837,14 +1844,16 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
                   else np.empty(0, dtype=np.int64))
         id_arr = pa.array(needed)
 
-        # the filtered content blocks never touch the driver: raw tasks
-        # filter a materialized doc table's blocks (no executor
-        # spin-up; lazy inputs keep the executor map), ONE worker task
-        # merges them into an id-SORTED single-chunk table in plasma,
-        # and every attach worker maps that table zero-copy. The
-        # per-batch gather must hit a FLAT array: taking from the
-        # 64-chunk ChunkedArray directly measured ~100 s at 1.2 GB of
-        # content (pyarrow's chunked take is O(total) per call).
+        # the filtered content blocks never touch the driver and are
+        # never merged/copied: raw tasks filter a materialized doc
+        # table's blocks (no executor spin-up; lazy inputs keep the
+        # executor map); the driver pulls only the ID columns (~8 B per
+        # matched doc) to build a (sorted id -> block, row) locator,
+        # and each attach batch gathers from the per-block content
+        # columns grouped by block — zero-copy plasma views, no ~GB
+        # merge task, no whole-table copies anywhere. (Earlier designs:
+        # taking from a many-chunk ChunkedArray is O(total) per call,
+        # and one merged flat table cost a 3.6 GB-alloc worker task.)
         from ray.data.dataset import MaterializedDataset
 
         if isinstance(docs, MaterializedDataset):
@@ -1861,21 +1870,52 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
                 ["file_id", "content"]).map_batches(
                 keep, batch_format="pyarrow",
                 batch_size=None).to_arrow_refs())
-        merged_ref = _merge_content_task.remote(content_refs)
+        ids_l, blk_l, row_l = [], [], []
+        for bi, t in enumerate(ray.get(content_refs)):
+            nloc = t.num_rows
+            if nloc:
+                ids_l.append(_i64_view(t["file_id"]))
+                blk_l.append(np.full(nloc, bi, dtype=np.int32))
+                row_l.append(np.arange(nloc, dtype=np.int32))
+        if ids_l:
+            ids_cat = np.concatenate(ids_l)
+            order = np.argsort(ids_cat)
+            locator = (ids_cat[order], np.concatenate(blk_l)[order],
+                       np.concatenate(row_l)[order])
+        else:
+            locator = (np.empty(0, dtype=np.int64),
+                       np.empty(0, dtype=np.int32),
+                       np.empty(0, dtype=np.int32))
+        loc_ref = ray.put(locator)
+        refs_tuple = tuple(content_refs)
 
         def attach(batch: pa.Table) -> pa.Table:
-            sids, contents = _content_index(merged_ref)
-            ia = np.searchsorted(sids, np.asarray(
-                batch["a"].to_numpy(zero_copy_only=False),
-                dtype=np.int64))
-            ib = np.searchsorted(sids, np.asarray(
-                batch["b"].to_numpy(zero_copy_only=False),
-                dtype=np.int64))
+            sids, sblk, srow = ray.get(loc_ref)
+            cols = _content_cols(refs_tuple)
+            n = batch.num_rows
+            ab = np.concatenate([
+                np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64),
+                np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)])
+            pos = np.searchsorted(sids, ab)
+            blk, row = sblk[pos], srow[pos]
+            # gather grouped by source block (each block column is one
+            # flat array -> cheap takes), then un-permute
+            grp = np.argsort(blk, kind="stable")
+            parts = []
+            gblk, grow = blk[grp], row[grp]
+            bounds = np.flatnonzero(np.diff(gblk, prepend=-1))
+            for s, e in zip(bounds, np.append(bounds[1:], len(gblk))):
+                parts.append(cols[gblk[s]].take(pa.array(grow[s:e])))
+            gathered = (pa.concat_arrays(parts) if parts
+                        else pa.array([], pa.string()))
+            inv = np.empty(len(grp), dtype=np.int64)
+            inv[grp] = np.arange(len(grp))
+            both = gathered.take(pa.array(inv))
             return (batch
-                    .append_column("content_a",
-                                   contents.take(pa.array(ia)))
-                    .append_column("content_b",
-                                   contents.take(pa.array(ib))))
+                    .append_column("content_a", both.slice(0, n))
+                    .append_column("content_b", both.slice(n, n)))
 
         return pairs.map_batches(attach, batch_format="pyarrow",
                                  batch_size=None)
@@ -1900,54 +1940,33 @@ def _filter_content_block_task(tbl: pa.Table,
     return tbl.select(["file_id", "content"]).filter(pa.array(mask))
 
 
-@ray.remote
-def _merge_content_task(block_refs: list) -> pa.Table:
-    """Merge the filtered (file_id, content) blocks into ONE id-sorted
-    single-chunk table — runs on a worker, lands in plasma, mapped
-    zero-copy by every attach worker."""
-    tabs = [t for t in (ray.get(r) for r in block_refs) if t.num_rows]
-    if not tabs:
-        return pa.table({"file_id": pa.array([], pa.int64()),
-                         "content": pa.array([], pa.string())})
-    tbl = pa.concat_tables(tabs)
-    ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                     dtype=np.int64)
-    order = np.argsort(ids)
-    return pa.table({
-        "file_id": pa.array(ids[order]),
-        "content": tbl["content"].combine_chunks().take(
-            pa.array(order))})
+#: per-worker-process cache of the per-block content column views
+#: (bounded: cleared when a new pair-set's refs arrive)
+_CONTENT_REF_CACHE: dict[tuple, list] = {}
 
 
-#: per-worker-process cache of the content lookup (bounded: cleared
-#: when a new pair-set's merged table arrives)
-_CONTENT_REF_CACHE: dict[str, tuple] = {}
-
-
-def _content_index(merged_ref):
-    """(sorted file_ids, flat content array) from the merged broadcast
-    table — deserialized zero-copy once per worker process.
+def _content_cols(content_refs: tuple) -> list:
+    """Per-block flat content-column views from the filtered blocks —
+    zero-copy plasma reads, cached once per worker process.
 
     MUST stay zero-copy: ``combine_chunks()`` copies even a
     single-chunk column, and N workers each copying ~GBs concurrently
     serialize on mmap page-zeroing (measured 77 s across 16 workers at
-    1.2 GB of content vs ~0 s for the ``chunk(0)`` view)."""
-    key = merged_ref.hex()
-    hit = _CONTENT_REF_CACHE.get(key)
-    if hit is None:
+    1.2 GB of content vs ~0 s for ``chunk(0)`` views)."""
+    key = tuple(r.hex() for r in content_refs)
+    cols = _CONTENT_REF_CACHE.get(key)
+    if cols is None:
         import ray as _ray
 
-        tbl = _ray.get(merged_ref)
-        col = tbl["content"]
-        contents = (col.chunk(0) if col.num_chunks == 1
-                    else col.combine_chunks())
-        hit = (np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
-                          dtype=np.int64),
-               contents)
+        cols = []
+        for t in _ray.get(list(content_refs)):
+            c = t["content"]
+            cols.append(c.chunk(0) if c.num_chunks == 1
+                        else c.combine_chunks())
         if len(_CONTENT_REF_CACHE) >= 2:
             _CONTENT_REF_CACHE.clear()
-        _CONTENT_REF_CACHE[key] = hit
-    return hit
+        _CONTENT_REF_CACHE[key] = cols
+    return cols
 
 
 def duplicate_edges(verified: ray.data.Dataset,
