@@ -193,3 +193,48 @@ def test_simhash_batch_chunk_spanning_and_empty_edges():
     assert np.array_equal(oph[1], solo[0])
     assert np.array_equal(oph[0], np.full(128, np.iinfo(np.uint64).max,
                                           dtype=np.uint64))
+
+
+def test_range_bounds_cover_int64_disjointly():
+    """The expansion ranges must partition the full int64 space:
+    contiguous, disjoint, starting at INT64_MIN, last open-ended."""
+    from data_deduplication_service_ray.stages.neardup import _range_bounds
+
+    for nparts in (1, 3, 8, 64, 128):
+        bounds = _range_bounds(nparts)
+        assert len(bounds) == nparts
+        assert bounds[0][0] == -(1 << 63)
+        assert bounds[-1][1] is None
+        for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+            assert hi1 == lo2 and lo1 < hi1
+
+
+def test_fsb_matrix_roundtrip():
+    """fsb_from_matrix/fsb_to_matrix must round-trip arbitrary dtypes
+    bit-exactly (the join payload packing)."""
+    import numpy as np
+
+    from data_deduplication_service_ray.stages.neardup import (
+        fsb_from_matrix, fsb_to_matrix)
+
+    rng = np.random.default_rng(3)
+    for dtype, w in ((np.uint8, 128), (np.float64, 16), (np.int64, 4)):
+        mat = rng.integers(0, 100, size=(37, w)).astype(dtype)
+        arr = fsb_from_matrix(mat)
+        assert arr.type.byte_width == w * mat.itemsize
+        back = fsb_to_matrix(arr, dtype)
+        assert np.array_equal(back, mat)
+
+
+def test_gate_env_flag(monkeypatch):
+    """config.gate returns the value normally and 0 under
+    GRAFT_FORCE_DISTRIBUTED=1 (the forced-fallback switch)."""
+    import importlib
+
+    from data_deduplication_service_ray import config as cfgmod
+
+    assert cfgmod.gate(123) == 123
+    monkeypatch.setenv("GRAFT_FORCE_DISTRIBUTED", "1")
+    assert cfgmod.gate(123) == 0
+    monkeypatch.delenv("GRAFT_FORCE_DISTRIBUTED")
+    assert cfgmod.gate(123) == 123
