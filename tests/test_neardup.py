@@ -544,3 +544,22 @@ def test_sort_block_tasks_handle_multichunk_unsorted_blocks():
     bout = ray.get(nd._sort_band_block_task.remote(band))
     assert bout["band_hash"].num_chunks == 1
     assert bout["band_hash"].to_pylist() == [-3, 7, 7, 40]
+
+
+def test_small_verify_matches_distributed(pipe, monkeypatch):
+    """The DRIVER_VERIFY_LIMIT raw-task verify (chunked attach+score over
+    doc block refs) must produce exactly the distributed locator flow's
+    scored pairs."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    key = ("a", "b", "n_bands", "capped", "est", "hamming", "jaccard",
+           "contained")
+    fast = {tuple(round(r[k], 12) if isinstance(r[k], float) else r[k]
+                  for k in key)
+            for r in pipe.verified_pairs().take_all()}
+    monkeypatch.setattr(nd, "DRIVER_VERIFY_LIMIT", 0)
+    again = NearDupPipeline(pipe._raw, CFG)
+    slow = {tuple(round(r[k], 12) if isinstance(r[k], float) else r[k]
+                  for k in key)
+            for r in again.verified_pairs().take_all()}
+    assert fast == slow and len(fast) > 0
