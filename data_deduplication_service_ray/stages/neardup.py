@@ -2026,15 +2026,26 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
 def _filter_content_block_task(tbl: pa.Table,
                                needed_sorted: np.ndarray) -> pa.Table:
     """Keep the (file_id, content) rows whose id is in the sorted
-    needed-id array (vectorized searchsorted membership)."""
+    needed-id array (vectorized searchsorted membership).
+
+    The output is COMBINED to single-chunk here, once, in this task:
+    upstream map blocks arrive multi-chunk (the executor bundles map
+    outputs by concatenation), and a multi-chunk filtered block would
+    make every consumer worker's ``_content_cols`` pay its own
+    combine_chunks copy — N workers each copying the filtered content
+    concurrently serialize on mmap page-zeroing (the documented 77 s
+    trap). One combine per block, in parallel tasks, keeps the
+    consumers on the zero-copy ``chunk(0)`` path."""
     fid = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
     if len(needed_sorted) == 0 or tbl.num_rows == 0:
-        return tbl.select(["file_id", "content"]).slice(0, 0)
+        return (tbl.select(["file_id", "content"]).slice(0, 0)
+                .combine_chunks())
     pos = np.minimum(np.searchsorted(needed_sorted, fid),
                      len(needed_sorted) - 1)
     mask = needed_sorted[pos] == fid
-    return tbl.select(["file_id", "content"]).filter(pa.array(mask))
+    return (tbl.select(["file_id", "content"]).filter(pa.array(mask))
+            .combine_chunks())
 
 
 #: per-worker-process cache of the per-block content column views
