@@ -410,6 +410,39 @@ def q_fingerprints(sf_dir: str):
     return text.fingerprints(docs, CFG)
 
 
+def q_fingerprints_sql(sf_dir: str):
+    """Oracle-checked winnowing: the same robust-winnowing selection
+    rule over a SQL-expressible polynomial code-point hash (both sides
+    evaluate one congruence mod the same prime), emitted as flat
+    (file_id, fp_hash) rows so DuckDB window functions can reproduce
+    the selection exactly (see ``text.fingerprints_parity``)."""
+    from data_deduplication_service_ray.stages import text
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return text.fingerprints_parity(docs, k=CFG.shingle_k, window=16)
+
+
+def q_ingest_segments(sf_dir: str):
+    """Per-file segment count at the configured fixed size — the
+    deterministic column of ``q_ingest_latency`` (wall micros stays
+    rows-only there), oracled as ceil(char_length / segment_size)."""
+    import pyarrow.compute as pc
+
+    size = CFG.segment_size
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["content"])
+        keep = pc.greater(n, 0)
+        n = n.filter(keep)
+        nseg = pc.cast(pc.ceil(pc.divide(pc.cast(n, pa.float64()),
+                                         float(size))), pa.int64())
+        return pa.table({"file_id": batch["file_id"].filter(keep),
+                         "n_segments": nseg})
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
 _KNN_QUERIES = 5
 _KNN_K = 10
 
@@ -571,6 +604,8 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "fingerprints_sql": q_fingerprints_sql,
+    "ingest_segments": q_ingest_segments,
     "embedding_knn": q_embedding_knn,
     "cosine_pairs": q_cosine_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -588,6 +623,18 @@ QUERIES = {
 # DuckDB oracle SQL (ANSI-ish; tables pre-registered as views)
 # --------------------------------------------------------------------------
 
+#: fingerprint-parity constants (see text.fingerprints_parity): the
+#: oracle evaluates the same polynomial congruence, unrolled over the
+#: CFG.shingle_k code points with powers of the base pre-reduced mod the
+#: prime (every term < 2^40, the k-term sum < 2^43 — no BIGINT overflow)
+_FP_K = CFG.shingle_k
+_FP_W = 16
+_FP_P, _FP_B = 2147483647, 31
+_FP_TERMS = " + ".join(
+    f"CAST(ord(substr(text, i + {j}, 1)) AS BIGINT) "
+    f"* {pow(_FP_B, _FP_K - 1 - j, _FP_P)}"
+    for j in range(_FP_K))
+
 ORACLE_SQL = {
     "exact_dedup": """
         SELECT sha256(text) AS content_sha256,
@@ -595,6 +642,61 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS dup_count
         FROM documents WHERE length(text) > 0
         GROUP BY 1
+    """,
+    "ingest_segments": f"""
+        SELECT doc_id AS file_id,
+               CAST(ceil(length(text) / {float(CFG.segment_size)})
+                    AS BIGINT) AS n_segments
+        FROM documents WHERE length(text) > 0
+    """,
+    # robust winnowing (rightmost minimal hash per sliding window,
+    # deduped by position) with window functions: the tie-break key
+    # h*1e6 + (1e6 - i) makes MIN pick the smallest hash, rightmost
+    # position — exactly text.winnow's selection rule
+    "fingerprints_sql": f"""
+        WITH d AS (
+          SELECT doc_id AS file_id, text, length(text) AS n
+          FROM documents WHERE length(text) > 0
+        ),
+        long_pos AS (
+          SELECT file_id, text, n - {_FP_K} + 1 AS m,
+                 unnest(range(1, n - {_FP_K} + 2)) AS i
+          FROM d WHERE n >= {_FP_K}
+        ),
+        long_h AS (
+          SELECT file_id, m, i, ({_FP_TERMS}) % {_FP_P} AS h
+          FROM long_pos
+        ),
+        short_pos AS (
+          SELECT file_id, text, n, unnest(range(1, n + 1)) AS j
+          FROM d WHERE n < {_FP_K}
+        ),
+        short_h AS (
+          SELECT file_id, 1 AS m, CAST(1 AS BIGINT) AS i,
+                 SUM(CAST(ord(substr(text, j, 1)) AS BIGINT)
+                     * CAST(power({_FP_B}, n - j) AS BIGINT))
+                   % {_FP_P} AS h
+          FROM short_pos GROUP BY file_id, n
+        ),
+        h AS (SELECT * FROM long_h UNION ALL SELECT * FROM short_h),
+        keyed AS (
+          SELECT file_id, m, i, h * 1000000 + (1000000 - i) AS key
+          FROM h
+        ),
+        wins AS (
+          SELECT file_id, i AS s, m,
+                 min(key) OVER (
+                   PARTITION BY file_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW
+                        AND {_FP_W - 1} FOLLOWING) AS minkey
+          FROM keyed
+        ),
+        sel AS (
+          SELECT DISTINCT file_id, minkey // 1000000 AS h,
+                 1000000 - (minkey % 1000000) AS selpos
+          FROM wins WHERE s <= greatest(1, m - {_FP_W} + 1)
+        )
+        SELECT file_id, CAST(h AS BIGINT) AS fp_hash FROM sel
     """,
     "segment_store": _SEGS_CTE + """
         SELECT sha256(segment) AS segment_hash,

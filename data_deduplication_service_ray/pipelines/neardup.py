@@ -473,9 +473,8 @@ class NearDupPipeline:
         checkpoint resume where the build closure never runs."""
 
         def build() -> ray.data.Dataset:
-            bands = neardup.band_rows(self.signatures(), self.cfg)
             ds, _estimated = neardup.candidate_pairs_estimated(
-                bands, self.signatures(), self.cfg)
+                self.signatures(), self.cfg)
             return ds
 
         # materialized: the bucket groupby and the survivor-dedup groupby

@@ -103,8 +103,16 @@ def export_files(ds: ray.data.Dataset, root: str,
     if retrieval not in ("persist", "remove"):
         raise ValueError(f"bad retrieval: {retrieval}")
     if retrieval == "remove":
-        ids = sorted({r[id_col] for r in
-                      ds.select_columns([id_col]).take_all()})
+        # ONE execution feeds both uses: a lazy input would otherwise
+        # run once for the id pull and again for the export, and the
+        # two runs could disagree. Ids come back as a vectorized
+        # column pull, not take_all row dicts.
+        ds = ds.materialize()
+        ids = sorted({
+            int(v)
+            for b in ds.select_columns([id_col]).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+            for v in b[id_col].to_pylist()})
         out = export_files(ds, root, path_col, content_col, on_exists,
                            retrieval="persist")
         out["removed_ids"] = ids

@@ -6,15 +6,15 @@ training-data pipeline treats media: never decode in the shuffle path,
 decode late inside bounded actor-pool stages with SMALL batch sizes
 (payload bytes × batch_size × concurrency must fit the worker heap).
 
-The actual codec libraries (PIL/libav/soundfile) are NOT in this
-container. The decode step is therefore STUBBED behind an import-try:
-with a real codec installed, ``decoder="real"`` works unchanged; without
-one, ``decoder="fake"`` produces a *deterministic* pseudo-decode derived
-from the payload bytes so every downstream stage (resize, feature
-extraction, frame sampling — real numpy code) is exercised end-to-end,
-and ``decoder="real"`` raises ``NotImplementedError`` with a clear
-message. The Ray-side plumbing — schema, actor signature, batch sizing,
-output layout — is real and tested.
+The codec libraries (PIL / soundfile) are auto-detected at import:
+``decoder="auto"`` uses the real decode when the library imported and
+the deterministic stub otherwise; ``decoder="real"`` insists (and
+raises ``NotImplementedError`` with a clear message when the library is
+absent — the case in this container); ``decoder="fake"`` is a
+*deterministic* pseudo-decode derived from the payload bytes so every
+downstream stage (resize, feature extraction, frame sampling — real
+numpy code) is exercised end-to-end. The Ray-side plumbing — schema,
+actor signature, batch sizing, output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -31,6 +31,28 @@ try:  # pragma: no cover - not present in this container
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+
+def _resolve_decoder(decoder: str, have_real: bool, needs: str) -> str:
+    """'auto' -> 'real' when the codec lib imported, else 'fake';
+    explicit 'real' without the lib raises the documented guard."""
+    if decoder == "auto":
+        return "real" if have_real else "fake"
+    if decoder == "real" and not have_real:
+        raise NotImplementedError(
+            f"real decode needs {needs}, which is not in this "
+            f"environment; use decoder='fake' (deterministic stub) or "
+            f"decoder='auto'")
+    if decoder not in ("real", "fake"):
+        raise ValueError(f"bad decoder: {decoder}")
+    return decoder
 
 
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
@@ -53,28 +75,37 @@ class ImageDecodeStage:
     """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder == "real" and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode needs PIL/pillow, which is not in this "
-                "environment; use decoder='fake' (deterministic stub)")
-        self.decoder = decoder
+        self.decoder = _resolve_decoder(decoder, _HAVE_PIL,
+                                        "PIL/pillow")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels: list[np.ndarray] = []
+        hs, ws = [], []
         for payload, h, w in zip(batch["payload"].to_pylist(),
                                  batch["height"].to_pylist(),
                                  batch["width"].to_pylist()):
-            if self.decoder == "real":  # pragma: no cover
-                raise NotImplementedError("real decode path not available")
-            pixels.append(_fake_pixels(payload, h, w).reshape(-1))
+            if self.decoder == "real":  # pragma: no cover - needs PIL
+                import io
+
+                from PIL import Image as _Img
+
+                img = np.asarray(
+                    _Img.open(io.BytesIO(payload)).convert("RGB"),
+                    dtype=np.uint8)
+                h, w = img.shape[0], img.shape[1]
+                pixels.append(img.reshape(-1))
+            else:
+                pixels.append(_fake_pixels(payload, h, w).reshape(-1))
+            hs.append(h)
+            ws.append(w)
         offsets = np.zeros(len(pixels) + 1, dtype=np.int64)
         np.cumsum([len(p) for p in pixels], out=offsets[1:])
         values = (np.concatenate(pixels) if pixels
                   else np.empty(0, dtype=np.uint8))
         return pa.table({
             "media_id": batch["media_id"],
-            "height": batch["height"],
-            "width": batch["width"],
+            "height": pa.array(hs, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
             "pixels": pa.LargeListArray.from_arrays(
                 pa.array(offsets), pa.array(values)),
         })
@@ -194,24 +225,35 @@ class AudioDecodeStage:
     """
 
     def __init__(self, decoder: str = "fake"):
-        if decoder == "real":
-            raise NotImplementedError(
-                "real audio decode needs soundfile/libav, which is not in "
-                "this environment; use decoder='fake' (deterministic stub)")
-        self.decoder = decoder
+        self.decoder = _resolve_decoder(decoder, _HAVE_SOUNDFILE,
+                                        "soundfile/libav")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        clips = [
-            _fake_pcm(payload, int(n))
-            for payload, n in zip(batch["payload"].to_pylist(),
-                                  batch["n_samples"].to_pylist())]
+        clips: list[np.ndarray] = []
+        rates: list[int] = []
+        for payload, n, sr in zip(batch["payload"].to_pylist(),
+                                  batch["n_samples"].to_pylist(),
+                                  batch["sample_rate"].to_pylist()):
+            if self.decoder == "real":  # pragma: no cover - needs lib
+                import io
+
+                import soundfile as _sf
+
+                data, sr = _sf.read(io.BytesIO(payload),
+                                    dtype="float32")
+                if data.ndim > 1:  # mono mixdown
+                    data = data.mean(axis=1, dtype=np.float32)
+                clips.append(np.asarray(data, dtype=np.float32))
+            else:
+                clips.append(_fake_pcm(payload, int(n)))
+            rates.append(int(sr))
         offsets = np.zeros(len(clips) + 1, dtype=np.int64)
         np.cumsum([len(c) for c in clips], out=offsets[1:])
         values = (np.concatenate(clips) if clips
                   else np.empty(0, dtype=np.float32))
         return pa.table({
             "media_id": batch["media_id"],
-            "sample_rate": batch["sample_rate"],
+            "sample_rate": pa.array(rates, pa.int64()),
             "pcm": pa.LargeListArray.from_arrays(
                 pa.array(offsets), pa.array(values)),
         })

@@ -980,8 +980,7 @@ _EMPTY_EST = pa.table({
     "hamming": pa.array([], pa.int64())})
 
 
-def candidate_pairs_estimated(bands: ray.data.Dataset,
-                              sigs: ray.data.Dataset,
+def candidate_pairs_estimated(sigs: ray.data.Dataset,
                               cfg: PipelineConfig,
                               num_partitions: int | None = None
                               ) -> tuple[ray.data.Dataset, bool]:
@@ -1012,7 +1011,10 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
     n_sigs = (sigs.count()
               if isinstance(sigs, MaterializedDataset) else None)
     if n_sigs is None or n_sigs > BROADCAST_SIG_LIMIT:
-        return candidate_pairs(bands, cfg, nparts, distinct=False), False
+        # fallback consumes the band table; derived HERE (band_rows is
+        # a lazy map over sigs) so no caller can hand a mismatched one
+        return candidate_pairs(band_rows(sigs, cfg), cfg, nparts,
+                               distinct=False), False
     import functools
 
     import ray as _ray
@@ -1029,9 +1031,7 @@ def candidate_pairs_estimated(bands: ray.data.Dataset,
     est_ref, offsets = _sig8_indexed(src_refs, cfg)
     # pure raw-task path over the signature blocks: bands are expanded
     # in-task (never materialized), singleton-filtered, sorted — the
-    # candidates stage pays ZERO Ray Data executor spin-ups. ``bands``
-    # is ignored here because it is by contract band_rows(sigs, cfg)
-    # (the fallback paths below still consume it).
+    # candidates stage pays ZERO Ray Data executor spin-ups.
     expand = functools.partial(_bands_from_sigs, cfg=cfg)
     filter_expands = [
         functools.partial(_bands_from_sigs_indexed, cfg=cfg,
@@ -1968,10 +1968,16 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
                 keep, batch_format="pyarrow",
                 batch_size=None).to_arrow_refs())
         ids_l, blk_l, row_l = [], [], []
-        for bi, t in enumerate(ray.get(content_refs)):
-            nloc = t.num_rows
+        # the driver fetches ONLY the int64 id arrays (tiny id-
+        # extraction tasks): ray.get of the content refs themselves
+        # would map the full filtered blocks into the driver — zero-
+        # copy on one node, but on a multi-node cluster it ships every
+        # content block to the driver just to read ids
+        for bi, ids in enumerate(ray.get(
+                [_block_ids_task.remote(r) for r in content_refs])):
+            nloc = len(ids)
             if nloc:
-                ids_l.append(_i64_view(t["file_id"]))
+                ids_l.append(ids)
                 blk_l.append(np.full(nloc, bi, dtype=np.int32))
                 row_l.append(np.arange(nloc, dtype=np.int32))
         if ids_l:
@@ -2020,6 +2026,13 @@ def _fetch_pair_contents(pairs: ray.data.Dataset,
     return _join_both_sides(
         pairs, docs.select_columns(["file_id", "content"]), "content",
         "content", nparts)
+
+
+@ray.remote
+def _block_ids_task(tbl: pa.Table) -> np.ndarray:
+    """Just the int64 file_id array of one filtered content block —
+    lets the locator build pull ids without shipping content."""
+    return np.ascontiguousarray(_i64_view(tbl["file_id"]))
 
 
 @ray.remote

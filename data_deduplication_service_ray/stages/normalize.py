@@ -40,7 +40,12 @@ def with_sha256(ds: ray.data.Dataset,
             hexes = [hashlib.sha256(mv[a:b]).hexdigest()
                      for a, b in zip(offs, offs[1:])]
         else:
-            hexes = sha256_hex(t or "" for t in col.to_pylist())
+            # null propagates as null (DuckDB: sha256(NULL) IS NULL) —
+            # hashing null as sha256("") would silently diverge from
+            # the SQL oracle; ``normalize`` drops nulls before this
+            # stage, so this branch only matters for direct callers
+            hexes = [None if t is None else sha256_hex([t])[0]
+                     for t in col.to_pylist()]
         return batch.append_column("content_sha256",
                                    pa.array(hexes, pa.string()))
 

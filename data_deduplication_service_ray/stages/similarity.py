@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from data_deduplication_service_ray.config import gate
 from data_deduplication_service_ray.functions.aggregates import CollectList
 
 
@@ -317,6 +318,63 @@ def embedding_simhash(embeddings: ray.data.Dataset, dim: int,
     return embeddings.map_batches(fp, batch_format="pyarrow")
 
 
+#: ``cosine_pairs_brute``'s DRIVER PULL (take_all of every embedding to
+#: build the broadcast matrix) is allowed only up to this many rows;
+#: past it (or under GRAFT_FORCE_DISTRIBUTED=1) the same O(n²) scoring
+#: runs as block-pair tasks over the materialized blocks — the driver
+#: never holds the matrix and per-pair values are identical (cosine of
+#: a pair depends only on its two vectors). The quadratic COMPUTE is the
+#: documented semantics of this labeled baseline either way; the real
+#: scale path is ``embedding_neardup_pairs``.
+BRUTE_PAIR_ROW_LIMIT = gate(200_000)
+
+
+@ray.remote
+def _cosine_block_pair_task(ta: pa.Table, tb: pa.Table, tau: float,
+                            same: bool, id_col: str, emb_col: str,
+                            inner_chunk: int) -> pa.Table:
+    """Parity-cosine pairs >= tau between two embedding blocks (every
+    unordered cross-block pair is evaluated exactly once; ``same=True``
+    restricts to the upper triangle). Output normalized to a < b."""
+    ids_a = np.asarray(ta[id_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    ids_b = np.asarray(tb[id_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    mat_a = _batch_matrix(ta, emb_col)
+    mat_b = _batch_matrix(tb, emb_col)
+    outs_a, outs_b, outs_c = [], [], []
+    for off in range(0, len(ids_b), inner_chunk):
+        jids = ids_b[off:off + inner_chunk]
+        sims = _cosine_parity(mat_a, mat_b[off:off + inner_chunk])
+        cmp = (ids_a[:, None] < jids[None, :] if same
+               else ids_a[:, None] != jids[None, :])
+        ii, jj = np.nonzero((sims >= tau) & cmp)
+        outs_a.append(np.minimum(ids_a[ii], jids[jj]))
+        outs_b.append(np.maximum(ids_a[ii], jids[jj]))
+        outs_c.append(sims[ii, jj])
+    return pa.table({
+        "a": pa.array(np.concatenate(outs_a) if outs_a
+                      else np.empty(0, dtype=np.int64)),
+        "b": pa.array(np.concatenate(outs_b) if outs_b
+                      else np.empty(0, dtype=np.int64)),
+        "cosine": pa.array(np.concatenate(outs_c) if outs_c
+                           else np.empty(0), pa.float64())})
+
+
+def _cosine_pairs_block_tasks(embeddings: ray.data.Dataset, tau: float,
+                              id_col: str, emb_col: str,
+                              inner_chunk: int) -> ray.data.Dataset:
+    """Past-the-gate brute path: one task per unordered block pair over
+    the materialized slim embedding table (zero driver bytes)."""
+    emb2 = embeddings.select_columns([id_col, emb_col]).materialize()
+    refs = list(emb2.to_arrow_refs())
+    tasks = [_cosine_block_pair_task.remote(refs[i], refs[j], tau,
+                                            i == j, id_col, emb_col,
+                                            inner_chunk)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    return ray.data.from_arrow_refs(tasks)
+
+
 def cosine_pairs_brute(embeddings: ray.data.Dataset, tau: float,
                        id_col: str = "vec_id",
                        emb_col: str = "embedding",
@@ -324,7 +382,12 @@ def cosine_pairs_brute(embeddings: ray.data.Dataset, tau: float,
     """All pairs (a < b) with parity-cosine >= tau — the brute-force
     similarity self-join baseline (O(n²) scoring; broadcast matrix once,
     blocked inner loop bounds memory). The LSH path
-    (``embedding_neardup_pairs``) is the scale alternative."""
+    (``embedding_neardup_pairs``) is the scale alternative; past
+    ``BRUTE_PAIR_ROW_LIMIT`` rows the driver pull is replaced by
+    block-pair tasks (identical pair set and values)."""
+    if embeddings.count() > BRUTE_PAIR_ROW_LIMIT:
+        return _cosine_pairs_block_tasks(embeddings, tau, id_col,
+                                         emb_col, inner_chunk)
     all_rows = embeddings.select_columns([id_col, emb_col]).take_all()
     all_rows.sort(key=lambda r: r[id_col])
     ids_all = np.array([r[id_col] for r in all_rows], dtype=np.int64)

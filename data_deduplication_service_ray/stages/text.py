@@ -206,3 +206,67 @@ def fingerprints(docs: ray.data.Dataset, cfg: PipelineConfig,
         FingerprintStage, fn_constructor_args=(cfg, window),
         batch_format="pyarrow", batch_size=cfg.batch_size,
         concurrency=(1, _pool_max(cfg)))
+
+
+#: SQL-parity fingerprint constants: polynomial char-code hash mod a
+#: Mersenne prime — both sides (numpy and the DuckDB oracle) evaluate
+#: the SAME congruence, so the winnowed selections match exactly.
+#: Products stay < 2^62 in uint64 (acc < p ~ 2^31, base 31) and the SQL
+#: side's unrolled sum stays < 2^63 in BIGINT.
+_FP_PRIME = 2147483647
+_FP_BASE = 31
+
+
+def _poly_kgram_codes(text: str, k: int) -> np.ndarray:
+    """Code-point k-gram polynomial hashes mod ``_FP_PRIME`` (uint64).
+
+    Operates on Unicode CODE POINTS (not utf-8 bytes) because the
+    DuckDB oracle's ``ord(substr(...))`` sees code points; a doc
+    shorter than ``k`` yields one hash of the whole content (same
+    partial-tail semantics as ``kgram_hashes``)."""
+    cp = np.frombuffer(text.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    n = len(cp)
+    p = np.uint64(_FP_PRIME)
+    base = np.uint64(_FP_BASE)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = np.uint64(0)
+        for c in cp:
+            acc = (acc * base + c) % p
+        return np.array([acc], dtype=np.uint64)
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(acc, base, out=acc)
+        np.add(acc, cp[j:j + m], out=acc)
+        np.mod(acc, p, out=acc)
+    return acc
+
+
+def fingerprints_parity(docs: ray.data.Dataset, k: int = 8,
+                        window: int = 16) -> ray.data.Dataset:
+    """Winnowing fingerprints over the SQL-expressible polynomial hash:
+    flat (file_id, fp_hash) rows, one per selected window position (the
+    oracle-checked variant of ``fingerprints`` — same robust-winnowing
+    selection rule, hash function swapped for one DuckDB can compute)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fids_out, vals_out = [], []
+        for fid, text in zip(batch["file_id"].to_pylist(),
+                             batch["content"].to_pylist()):
+            if not text:
+                continue
+            sel = winnow(_poly_kgram_codes(text, k), window)
+            if len(sel):
+                fids_out.append(np.full(len(sel), fid, dtype=np.int64))
+                vals_out.append(sel.astype(np.int64))
+        if not fids_out:
+            return pa.table({"file_id": pa.array([], pa.int64()),
+                             "fp_hash": pa.array([], pa.int64())})
+        return pa.table({
+            "file_id": pa.array(np.concatenate(fids_out)),
+            "fp_hash": pa.array(np.concatenate(vals_out))})
+
+    return docs.map_batches(fp, batch_format="pyarrow")

@@ -223,3 +223,51 @@ def test_audio_plumbing_deterministic():
             assert feats[k][c] == again[k][c]
     with pytest.raises((NotImplementedError, Exception)):
         mm.decode_audio(media, decoder="real").materialize()
+
+
+def test_decoder_auto_resolution(media_ds):
+    """decoder='auto' uses the real codec when its library imports and
+    falls back to the deterministic stub otherwise; explicit 'real'
+    without the library raises the documented guard. In this container
+    (no PIL/soundfile) the guard branch runs; with the library present
+    the real branch decodes an actual encoded payload."""
+    if mm._HAVE_PIL:  # pragma: no cover - lib absent in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.new("RGB", (4, 2), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        ds = ray.data.from_arrow(pa.table({
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+            "height": pa.array([0], pa.int64()),
+            "width": pa.array([0], pa.int64())}))
+        rows = mm.decode_images(ds, decoder="auto").take_all()
+        assert rows[0]["height"] == 2 and rows[0]["width"] == 4
+        assert list(rows[0]["pixels"])[:3] == [10, 20, 30]
+    else:
+        with pytest.raises((NotImplementedError, Exception)):
+            mm.decode_images(media_ds, decoder="real").take_all()
+        rows = mm.decode_images(media_ds, decoder="auto").take_all()
+        assert len(rows) == 6  # auto fell back to the stub
+    with pytest.raises(ValueError):
+        mm.ImageDecodeStage(decoder="bogus")
+
+
+def test_audio_decoder_auto_resolution():
+    clips = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"clip"], pa.binary()),
+        "sample_rate": pa.array([8000], pa.int64()),
+        "n_samples": pa.array([800], pa.int64())})
+    media = ray.data.from_arrow(clips)
+    if mm._HAVE_SOUNDFILE:  # pragma: no cover - lib absent here
+        rows = mm.decode_audio(media, decoder="auto").take_all()
+        assert len(rows) == 1
+    else:
+        with pytest.raises((NotImplementedError, Exception)):
+            mm.decode_audio(media, decoder="real").materialize()
+        rows = mm.decode_audio(media, decoder="auto").take_all()
+        assert len(rows[0]["pcm"]) == 800  # stub fallback

@@ -462,16 +462,13 @@ def test_fused_multislice_merge_matches_single(pipe, monkeypatch):
     single-slice inline result exactly."""
     from data_deduplication_service_ray.stages import neardup as nd
 
-    bands = nd.band_rows(pipe.signatures(), CFG)
-    single, est1 = nd.candidate_pairs_estimated(
-        bands, pipe.signatures(), CFG)
+    single, est1 = nd.candidate_pairs_estimated(pipe.signatures(), CFG)
     assert est1
     rows1 = {(r["a"], r["b"], r["n_bands"], r["capped"],
               round(r["est"], 12), r["hamming"])
              for r in single.take_all()}
     monkeypatch.setattr(nd, "_DRIVER_SORT_LIMIT", 0)
-    multi, est2 = nd.candidate_pairs_estimated(
-        bands, pipe.signatures(), CFG)
+    multi, est2 = nd.candidate_pairs_estimated(pipe.signatures(), CFG)
     assert est2
     rows2 = {(r["a"], r["b"], r["n_bands"], r["capped"],
               round(r["est"], 12), r["hamming"])

@@ -218,3 +218,20 @@ def test_ivf_pruned_read_works_under_file_uri(tmp_path):
                for r in sim.ivf_search_pruned(f"file://{idx}", qids,
                                               k=5, nprobe=2).take_all()}
     assert plain == via_uri and len(plain) > 0
+
+
+def test_cosine_pairs_brute_gated_matches_driver(clustered_vectors,
+                                                 monkeypatch):
+    """Past BRUTE_PAIR_ROW_LIMIT (or forced-distributed) the block-pair
+    task path must emit exactly the driver-broadcast path's pairs and
+    bit-identical cosines."""
+    ds, ids, mat = clustered_vectors
+    tau = 0.95
+    base = {(r["a"], r["b"], r["cosine"])
+            for r in sim.cosine_pairs_brute(ds, tau=tau).take_all()}
+    monkeypatch.setattr(sim, "BRUTE_PAIR_ROW_LIMIT", 0)
+    # multi-block input exercises cross-block pair normalization
+    ds4 = ds.repartition(4)
+    gated = {(r["a"], r["b"], r["cosine"])
+             for r in sim.cosine_pairs_brute(ds4, tau=tau).take_all()}
+    assert base == gated and len(base) > 0
