@@ -215,7 +215,7 @@ def _bands_from_sigs_indexed(batch: pa.Table, *, cfg: PipelineConfig,
                              offset: int) -> pa.Table:
     """``_bands_from_sigs`` plus a positional sig-index column:
     fidx = global row number of the doc in the CONCAT order of the sig
-    blocks (= the row order of the unsorted sig8 merge), letting the
+    blocks (= the row order of the unsorted sig4 merge), letting the
     fused estimate gather signatures with no id lookup at all."""
     out = _bands_from_sigs(batch, cfg=cfg)
     idx = np.repeat(
@@ -595,8 +595,8 @@ def _expand_maybe_estimate(bhs: np.ndarray, fids: np.ndarray,
                            est: tuple | None,
                            cfg: PipelineConfig | None,
                            fidx: np.ndarray | None = None) -> pa.Table:
-    """``est`` is the resolved sig8 array tuple — callers pass the
-    ``_sig8_ref`` ObjectRef as a TOP-LEVEL task argument, which Ray
+    """``est`` is the resolved sig4 array tuple — callers pass the
+    ``_sig4_ref`` ObjectRef as a TOP-LEVEL task argument, which Ray
     dereferences zero-copy before the task body runs (and makes the
     expansion tasks wait on the merge task automatically). With
     ``fidx`` (positional sig indices aligned with the rows) the pairs
@@ -627,7 +627,7 @@ def _expand_slice_task(bhs: np.ndarray, fids: np.ndarray,
     """Expand one slice of (band_hash, file_id) rows into candidate-pair
     occurrences. A non-presorted slice holds WHOLE buckets, so the
     task-local lexsort makes bucket runs globally exact. With ``est``
-    (callers pass the ``_sig8_ref`` ObjectRef; Ray resolves it zero-copy
+    (callers pass the ``_sig4_ref`` ObjectRef; Ray resolves it zero-copy
     at task start) the estimate prefilter runs IN the task: occurrences
     collapse to locally-distinct surviving pairs before anything returns
     to the object store — the raw occurrence table (dozens of bytes x
@@ -988,7 +988,7 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
 
     When the signature table fits the broadcast gate and the filtered
     band table fits the expansion gate, the whole stage runs as raw
-    Ray tasks over the signature blocks (zero executor spin-ups): sig8
+    Ray tasks over the signature blocks (zero executor spin-ups): sig4
     narrow tasks + one unsorted merge task, grouped bitmap tasks,
     per-block filter+sort tasks that attach POSITIONAL sig indices,
     and band_hash-range expansion tasks in which the estimate gathers
@@ -1019,7 +1019,7 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
 
     import ray as _ray
 
-    # fire the sig8 narrow+merge FIRST: those tasks run on workers
+    # fire the sig4 narrow+merge FIRST: those tasks run on workers
     # while the driver dispatches the bitmap and filter tasks below
     # (the old driver-side pull+sort+put of the sig arrays was ~1 s of
     # serial time the whole candidate stage waited on). The merge keeps
@@ -1028,7 +1028,7 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
     # signatures with NO id lookup anywhere — the per-occurrence binary
     # search was 2.3 s of a 2.5 s kernel at 2.7M occurrences/task.
     src_refs = sigs.to_arrow_refs()
-    est_ref, offsets = _sig8_indexed(src_refs, cfg)
+    est_ref, offsets = _sig4_indexed(src_refs, cfg)
     # pure raw-task path over the signature blocks: bands are expanded
     # in-task (never materialized), singleton-filtered, sorted — the
     # candidates stage pays ZERO Ray Data executor spin-ups.
@@ -1336,19 +1336,20 @@ def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
 
 
 #: Broadcast the signature table into est-filter / fused-expansion tasks
-#: below this row count. The broadcast ships the uint8 SLICES of the
-#: signatures (128 x u8 + n_shingles + simhash + id ≈ 152 B/row — the
-#: full u64 table never leaves the workers), so 4M rows ≈ 600 MB: put
-#: ONCE, mapped zero-copy by every task on the node (per-node copy on a
-#: cluster). Above it, fall back to hash joins. The estimate kernel's
-#: pair-key packing needs sig indices < 2^30 (ia<<33 in an int64), so
-#: the limit must stay below 2^30 rows. At cluster scale the limit keeps
-#: the broadcast bounded regardless of corpus size.
+#: below this row count. The broadcast ships the packed-NIBBLE slices of
+#: the signatures (128 slots x 0.5 B + n_shingles + simhash + id
+#: ≈ 88 B/row — the full u64 table never leaves the workers), so 4M
+#: rows ≈ 350 MB: put ONCE, mapped zero-copy by every task on the node
+#: (per-node copy on a cluster). Above it, fall back to hash joins. The
+#: estimate kernel's pair-key packing needs sig indices < 2^30 (ia<<33
+#: in an int64), so the limit must stay below 2^30 rows. At cluster
+#: scale the limit keeps the broadcast bounded regardless of corpus
+#: size.
 BROADCAST_SIG_LIMIT = gate(4_000_000)
 
 #: Fuse estimate-prefilter + distinct on the DRIVER while the raw
 #: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
-#: one np.unique + one vectorized uint8 gather replaces a 100+ MB
+#: one np.unique + one vectorized nibble-slab gather replaces a 100+ MB
 #: object-store round trip, a broadcast put, a distributed scoring map
 #: and a separate distinct — the biggest serial-vs-fixed-cost win in the
 #: verify stage at sub-gate sizes. Past the limit the distributed
@@ -1366,75 +1367,146 @@ def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
             - np.maximum(cfg.est_prefilter_margin, 2.0 / np.sqrt(m)))
 
 
-def _sig8_to_u8_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
+_NIBLO = np.uint64(0x1111111111111111)
+
+
+def _sig_words(num_perms: int) -> int:
+    """uint64 words per packed-nibble signature row (16 slots/word)."""
+    return (num_perms + 15) // 16
+
+
+def _pack_nibbles(m8: np.ndarray) -> np.ndarray:
+    """(n, P) uint8 slot slices -> (n, 8*W) bytes holding the LOW
+    NIBBLE of each slot (slot 2i in the low half of byte i), zero-padded
+    to whole little-endian uint64 words so the estimate kernel can view
+    rows as (n, W) uint64 and compare 16 slots per word op."""
+    n, num_perms = m8.shape
+    nbytes = 8 * _sig_words(num_perms)
+    m4 = np.zeros((n, 2 * nbytes), dtype=np.uint8)
+    m4[:, :num_perms] = m8 & 0x0F
+    return m4[:, 0::2] | (m4[:, 1::2] << 4)
+
+
+def _nibble_eq_counts(wa: np.ndarray, wb: np.ndarray,
+                      num_perms: int) -> np.ndarray:
+    """Equal-4-bit-slot count per row between two (c, W) uint64
+    packed-signature slabs: XOR, collapse each nibble's 4 bits into its
+    low bit, invert to an equal-flag mask, then sum the 16 flags per
+    word with one multiply-shift (flags live at bits 0,4,..,60 so
+    e * 0x111..1 puts their sum in the top nibble — exact for sums
+    <= 15; the sum-16 case is exactly w == 0, patched after). Padding
+    nibbles (num_perms % 16 != 0) are forced unequal by OR-ing their
+    positions into the XOR, which also keeps w == 0 unreachable for the
+    tail word."""
+    w = wa ^ wb
+    rem = num_perms % 16
+    if rem:
+        w[:, -1] |= np.uint64(((1 << (4 * (16 - rem))) - 1) << (4 * rem))
+    t = w | (w >> np.uint64(1))
+    t |= t >> np.uint64(2)
+    e = (~t) & _NIBLO
+    cnt = ((e * _NIBLO) >> np.uint64(60)).astype(np.int64)
+    cnt[w == 0] = 16
+    return cnt.sum(axis=1, dtype=np.int64)
+
+
+def _nibble_eq_counts_bytes(sa: np.ndarray, sb: np.ndarray,
+                            num_perms: int) -> np.ndarray:
+    """Byte-form of ``_nibble_eq_counts`` for row-aligned FSB payloads
+    (the join fallback): count equal nibbles per (c, 8*W) uint8 row
+    pair, then subtract the always-equal zero padding so both paths
+    emit the identical ``est``."""
+    x = sa ^ sb
+    cnt = (((x & 0x0F) == 0).sum(axis=1, dtype=np.int64)
+           + ((x & 0xF0) == 0).sum(axis=1, dtype=np.int64))
+    return cnt - (16 * _sig_words(num_perms) - num_perms)
+
+
+def _sig4_pack_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
+    """Narrow each 64-bit minhash slot to its LOW 4 BITS, packed 2
+    slots/byte (see ``_pack_nibbles``). Slice equality can only
+    OVERESTIMATE the slot-match fraction (false equality is a 2^-4
+    collision, bias <= +(1-J)/16, upward-only), so recall is untouched
+    while the broadcast and every per-pair gather move 1/16 of the
+    64-bit bytes — the candidate stage's estimate gather is memory-bus
+    bound, so halving bytes vs the former low-8 slices is the scaling
+    lever (VERDICT r3: candidates stage 0.636 at 4->16 CPUs)."""
+    n = batch.num_rows
     m8 = (np.asarray(
         batch["minhash"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False), dtype=np.int64)
-        .view(np.uint64).astype(np.uint8))
+        .view(np.uint64).astype(np.uint8).reshape(n, num_perms))
+    packed = _pack_nibbles(m8)
     return pa.table({
         "file_id": batch["file_id"],
-        "sig8": pa.FixedSizeListArray.from_arrays(
-            pa.array(m8, pa.uint8()), num_perms),
+        "sig4": pa.FixedSizeListArray.from_arrays(
+            pa.array(packed.reshape(-1), pa.uint8()), packed.shape[1]),
         "n_shingles": batch["n_shingles"],
         "simhash": batch["simhash"],
     })
 
 
 @ray.remote(num_returns=2)
-def _sig8_block_task(tbl: pa.Table, num_perms: int
+def _sig4_block_task(tbl: pa.Table, num_perms: int
                      ) -> tuple[pa.Table, int]:
-    """Narrow one signature block to its uint8 slices (raw-task form of
-    the ``_sig8_to_u8_batch`` map) + its row count (the fused path
-    needs per-block offsets for positional indexing)."""
-    out = _sig8_to_u8_batch(
+    """Narrow one signature block to its packed-nibble slices (raw-task
+    form of the ``_sig4_pack_batch`` map) + its row count (the fused
+    path needs per-block offsets for positional indexing)."""
+    out = _sig4_pack_batch(
         tbl.select(["file_id", "minhash", "n_shingles", "simhash"]),
         num_perms=num_perms)
     return out, out.num_rows
 
 
 @ray.remote
-def _merge_sig8_task(block_refs: list, num_perms: int,
+def _merge_sig4_task(block_refs: list, num_perms: int,
                      sort: bool = True
                      ) -> tuple[np.ndarray, np.ndarray,
                                 np.ndarray, np.ndarray]:
-    """Concat (+ optionally id-sort) the narrowed sig8 blocks in ONE
+    """Concat (+ optionally id-sort) the narrowed sig4 blocks in ONE
     worker task so the driver never holds (or re-puts) the signature
     arrays; the returned tuple lands in plasma as the task output and
-    every consumer maps it zero-copy. ``sort=False`` keeps CONCAT
-    (block) order — the fused path indexes it positionally via the
-    per-block offsets, so no sort and no id lookups exist anywhere."""
+    every consumer maps it zero-copy. The signature slab is viewed as
+    (n, W) uint64 words — the estimate kernel compares 16 slots per
+    word op. ``sort=False`` keeps CONCAT (block) order — the fused
+    path indexes it positionally via the per-block offsets, so no sort
+    and no id lookups exist anywhere."""
     tbl = pa.concat_tables([ray.get(r) for r in block_refs])
     ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
-    mat = np.asarray(
-        tbl["sig8"].combine_chunks().flatten().to_numpy(
+    nbytes = 8 * _sig_words(num_perms)
+    mat = np.ascontiguousarray(np.asarray(
+        tbl["sig4"].combine_chunks().flatten().to_numpy(
             zero_copy_only=False),
-        dtype=np.uint8).reshape(len(ids), num_perms)
+        dtype=np.uint8).reshape(len(ids), nbytes)).view(np.uint64)
     nsh = np.asarray(tbl["n_shingles"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
     sim = np.asarray(tbl["simhash"].to_numpy(zero_copy_only=False),
                      dtype=np.int64).view(np.uint64)
     if not sort:
-        return ids, np.ascontiguousarray(mat), nsh, sim
+        return ids, mat, nsh, sim
     order = np.argsort(ids)
-    return ids[order], mat[order], nsh[order], sim[order]
+    return (ids[order], np.ascontiguousarray(mat[order]), nsh[order],
+            sim[order])
 
 
-def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
-    """ObjectRef of (sorted file_ids, uint8[n, num_perms] low slices,
-    n_shingles, simhash uint64), all aligned. Narrowing to 1 B/slot runs
-    distributed; the concat+sort runs in a worker task (the driver
+def _sig4_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
+    """ObjectRef of (sorted file_ids, uint64[n, W] packed-nibble slabs,
+    n_shingles, simhash uint64), all aligned. Narrowing to 0.5 B/slot
+    runs distributed; the concat+sort runs in a worker task (the driver
     neither pulls nor re-puts the arrays — this was ~1 s of serial
     driver time per candidate stage). Carrying the 8-byte simhash lets
     the estimate emit the exact ``hamming`` column for free (one
     vectorized popcount per UNIQUE pair) so the content verifier never
     recomputes SimHash.
 
-    Slice-equality on low bytes can only OVERESTIMATE the match
-    fraction: a false slot equality needs a 2^-8 collision, so the est
-    bias is at most +(1-J)/256 ≈ +0.004 — two orders below the 0.2
-    prefilter margin, and upward-only, so recall is untouched while the
-    broadcast and every per-batch gather move 1/8 of the 64-bit bytes.
+    Slice-equality on low nibbles can only OVERESTIMATE the match
+    fraction: a false slot equality needs a 2^-4 collision, so the est
+    bias is at most +(1-J)/16 <= +0.0625 — still 3x below the >=0.2
+    adaptive prefilter margin and upward-only, so recall is untouched
+    (a few extra sub-threshold pairs ride to the exact content
+    verifier) while the broadcast and every per-pair gather move 1/16
+    of the 64-bit bytes.
     """
     import functools
 
@@ -1443,35 +1515,35 @@ def _sig8_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
     if isinstance(sigs, MaterializedDataset):
         # raw tasks over the signature blocks — no executor spin-up
         refs = [t for t, _c in
-                (_sig8_block_task.remote(r, cfg.num_perms)
+                (_sig4_block_task.remote(r, cfg.num_perms)
                  for r in sigs.to_arrow_refs())]
     else:
         refs = (sigs.select_columns(
             ["file_id", "minhash", "n_shingles", "simhash"])
-            .map_batches(functools.partial(_sig8_to_u8_batch,
+            .map_batches(functools.partial(_sig4_pack_batch,
                                            num_perms=cfg.num_perms),
                          batch_format="pyarrow", batch_size=None)
             .to_arrow_refs())
-    return _merge_sig8_task.remote(refs, cfg.num_perms)
+    return _merge_sig4_task.remote(refs, cfg.num_perms)
 
 
-def _sig8_indexed(src_refs: list, cfg: PipelineConfig):
+def _sig4_indexed(src_refs: list, cfg: PipelineConfig):
     """(unsorted est tuple ref, per-block row offsets) for the fused
     positional-index path: narrow tasks per sig block, offsets from
     their counts, one UNSORTED merge task."""
-    outs = [_sig8_block_task.remote(r, cfg.num_perms) for r in src_refs]
+    outs = [_sig4_block_task.remote(r, cfg.num_perms) for r in src_refs]
     counts = ray.get([c for _t, c in outs])
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    est_ref = _merge_sig8_task.remote([t for t, _c in outs],
+    est_ref = _merge_sig4_task.remote([t for t, _c in outs],
                                       cfg.num_perms, False)
     return est_ref, offsets
 
 
-def _pull_sig8(sigs: ray.data.Dataset, cfg: PipelineConfig
+def _pull_sig4(sigs: ray.data.Dataset, cfg: PipelineConfig
                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Driver-resident copy of the sig8 arrays (see ``_sig8_ref``);
+    """Driver-resident copy of the sig4 arrays (see ``_sig4_ref``);
     the arrays are plasma-backed read-only views."""
-    return ray.get(_sig8_ref(sigs, cfg))
+    return ray.get(_sig4_ref(sigs, cfg))
 
 
 def _is_sorted(x: np.ndarray) -> bool:
@@ -1539,16 +1611,19 @@ def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
     # hundreds of MB of temporaries — measured 9x slower than 64Ki-pair
     # chunks (page-fault bound), and the page zeroing serializes across
     # concurrent workers, which flat-lined est_filter from 4 to 16 CPUs.
-    # sum/num_perms equals mean(bool) bit-for-bit (integer-valued
-    # dividend, one correctly-rounded divide).
+    # The slab is packed nibbles in uint64 words (_nibble_eq_counts:
+    # 16 slot compares per word op, half the gathered bytes of the
+    # former uint8 slices — this gather is the candidate stage's
+    # memory-bus bottleneck). count/num_perms equals the slot-match
+    # mean bit-for-bit (integer dividend, one correctly-rounded divide).
     m_pairs = len(uia)
     est = np.empty(m_pairs, np.float64)
     keep = np.empty(m_pairs, dtype=bool)
     step = 1 << 16
     for off in range(0, m_pairs, step):
         sl = slice(off, off + step)
-        e = (smat[uia[sl]] == smat[uib[sl]]).sum(
-            axis=1, dtype=np.int64) / cfg.num_perms
+        e = _nibble_eq_counts(smat[uia[sl]], smat[uib[sl]],
+                              cfg.num_perms) / cfg.num_perms
         est[sl] = e
         keep[sl] = e >= _pair_cut_arrays(snsh[uia[sl]], snsh[uib[sl]],
                                          cfg)
@@ -1621,12 +1696,12 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     if n_sigs is not None and n_sigs <= BROADCAST_SIG_LIMIT:
         import ray
 
-        # Ship only the LOW 8 BITS of each signature slot (see
-        # _sig8_ref: upward-only bias +0.004 vs a 0.2 margin) — the
-        # broadcast and every per-batch gather move 1/8 of the 64-bit
-        # bytes. The merge-task output ref IS the broadcast handle (no
-        # driver pull, no second put).
-        handle = _sig8_ref(sigs, cfg)
+        # Ship only the LOW 4 BITS of each signature slot, packed into
+        # uint64 words (see _sig4_ref: upward-only bias <= +0.0625 vs a
+        # >=0.2 margin) — the broadcast and every per-batch gather move
+        # 1/16 of the 64-bit bytes. The merge-task output ref IS the
+        # broadcast handle (no driver pull, no second put).
+        handle = _sig4_ref(sigs, cfg)
 
         def score_bcast(batch: pa.Table) -> pa.Table:
             # COMPRESS per block: one output row per unique (a,b) with
@@ -1656,11 +1731,11 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         return pairs.map_batches(score_bcast, batch_format="pyarrow",
                                  batch_size=None)
 
-    sig_w = cfg.num_perms
+    sig_w = 8 * _sig_words(cfg.num_perms)
 
     def pack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        mat = (np.asarray(
+        mat = _pack_nibbles(np.asarray(
             batch["minhash"].combine_chunks().flatten().to_numpy(
                 zero_copy_only=False), dtype=np.int64)
             .view(np.uint64).astype(np.uint8).reshape(n, cfg.num_perms))
@@ -1670,14 +1745,14 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
         sim = np.ascontiguousarray(np.asarray(
             batch["simhash"].to_numpy(zero_copy_only=False),
             dtype=np.int64))
-        # ONE fixed-width blob per row (low-8 sig slots + trailing int64
-        # shingle count + int64 simhash): Arrow joins reject list
-        # payloads, and a single fixed-size-binary column keeps the join
-        # plumbing simple; low-8 slices cut the sig payload width 8x
-        # (recall-safe — see _sig8_ref); the simhash rides so this path
-        # emits the same ``hamming`` column as the broadcast path. The
-        # column is built from the matrix buffer in one shot
-        # (fsb_from_matrix) — no per-row Python.
+        # ONE fixed-width blob per row (packed-nibble sig slots +
+        # trailing int64 shingle count + int64 simhash): Arrow joins
+        # reject list payloads, and a single fixed-size-binary column
+        # keeps the join plumbing simple; low-4 slices cut the sig
+        # payload width 16x (recall-safe — see _sig4_ref); the simhash
+        # rides so this path emits the same ``hamming`` column as the
+        # broadcast path. The column is built from the matrix buffer in
+        # one shot (fsb_from_matrix) — no per-row Python.
         blob_mat = np.concatenate(
             [mat, nsh.view(np.uint8).reshape(n, 8),
              sim.view(np.uint8).reshape(n, 8)], axis=1)
@@ -1707,7 +1782,8 @@ def estimate_filter(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                 .view(np.uint64).ravel())
         simb = (np.ascontiguousarray(rawb[:, sig_w + 8:])
                 .view(np.uint64).ravel())
-        est = (sa == sb).mean(axis=1)
+        est = (_nibble_eq_counts_bytes(sa, sb, cfg.num_perms)
+               / cfg.num_perms)
         ham = mh.hamming64(sima, simb)
         keep = est >= _pair_cut_arrays(na, nb, cfg)
         out = (batch.drop_columns(["sig_a", "sig_b"])
@@ -1772,7 +1848,7 @@ def verify_pairs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                                       "b": pa.array([], pa.int64()),
                                       "capped": pa.array([],
                                                          pa.bool_())}))
-            sids, smat, snsh, ssim = _pull_sig8(sigs, cfg)
+            sids, smat, snsh, ssim = _pull_sig4(sigs, cfg)
             pairs = ray.data.from_arrow(_driver_estimate_distinct(
                 occ_tbl, sids, smat, snsh, ssim, cfg))
         else:

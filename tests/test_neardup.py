@@ -560,3 +560,34 @@ def test_small_verify_matches_distributed(pipe, monkeypatch):
                   for k in key)
             for r in again.verified_pairs().take_all()}
     assert fast == slow and len(fast) > 0
+
+
+def test_nibble_kernels_match_direct_compare():
+    """The SWAR word kernel and the FSB byte kernel must both equal a
+    direct per-nibble equality count, including the padded tail when
+    num_perms % 16 != 0 (pad nibbles must never count as equal)."""
+    import numpy as np
+
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    rng = np.random.default_rng(7)
+    for num_perms in (128, 20, 16, 5):
+        n = 200
+        m8 = rng.integers(0, 256, size=(n, num_perms), dtype=np.uint8)
+        # plant identical rows so the w == 0 (all-equal word) case fires
+        m8[10] = m8[11]
+        packed = nd._pack_nibbles(m8)
+        assert packed.shape[1] == 8 * nd._sig_words(num_perms)
+        words = np.ascontiguousarray(packed).view(np.uint64)
+        ia = rng.integers(0, n, 5000).astype(np.int64)
+        ib = rng.integers(0, n, 5000).astype(np.int64)
+        ref = ((m8 & 0x0F)[ia] == (m8 & 0x0F)[ib]).sum(
+            axis=1, dtype=np.int64)
+        got_w = nd._nibble_eq_counts(words[ia], words[ib], num_perms)
+        got_b = nd._nibble_eq_counts_bytes(packed[ia], packed[ib],
+                                           num_perms)
+        assert np.array_equal(got_w, ref), num_perms
+        assert np.array_equal(got_b, ref), num_perms
+        # the planted identical pair scores a full match
+        full = nd._nibble_eq_counts(words[[10]], words[[11]], num_perms)
+        assert full[0] == num_perms
