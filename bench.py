@@ -44,6 +44,15 @@ def _init_ray(num_cpus: int) -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    # Warm the worker pool as part of session setup: the FIRST dataset
+    # execution otherwise pays ~2-3 s of worker-process cold start that
+    # belongs to ray.init, not to whichever pipeline happens to run
+    # first (a long-lived cluster has warm workers). One trivial
+    # map_batches over num_cpus blocks starts every worker.
+    import ray.data as rd
+
+    (rd.range(num_cpus, override_num_blocks=num_cpus)
+     .map_batches(lambda b: b, batch_format="pyarrow").count())
 
 
 def _bench_queries(sf_dir: str) -> tuple[dict[str, float], int]:
