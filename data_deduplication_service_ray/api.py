@@ -577,6 +577,24 @@ def q_ivf_knn(sf_dir: str):
                                  list(range(_KNN_QUERIES)), k=_KNN_K)
 
 
+def q_ivf_knn_exact(sf_dir: str):
+    """IVF in the exhaustive limit: ``nprobe = n_centroids`` probes every
+    partition, so the SAME assignment/probe/prune machinery as
+    ``ivf_knn`` must reproduce brute-force kNN exactly — hash-checked
+    against the identical DuckDB oracle as ``embedding_knn`` (parity
+    cosine for bit-identical doubles). This pins the IVF plumbing
+    (centroid assignment, partition filter, top-k merge) to an oracle;
+    the recall of the PRUNED config stays pytest-gated."""
+    from data_deduplication_service_ray.stages import similarity
+
+    emb = read_embeddings(sf_dir)
+    cents = similarity.train_centroids(emb, n_centroids=16)
+    assigned = similarity.assign_centroids(emb, cents).materialize()
+    return similarity.ivf_search(assigned, cents,
+                                 list(range(_KNN_QUERIES)), k=_KNN_K,
+                                 nprobe=len(cents), exact_parity=True)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "segment_store": q_segment_store,
@@ -610,6 +628,7 @@ QUERIES = {
     "cosine_pairs": q_cosine_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_knn": q_ivf_knn,
+    "ivf_knn_exact": q_ivf_knn_exact,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "windowed_events": q_windowed_events,
@@ -910,6 +929,26 @@ def _text_oracles() -> dict[str, str]:
                               AS DOUBLE) / CAST(n_tok AS DOUBLE) END
                    AS lang_confidence
         FROM h
+        """,
+        # ivf_knn_exact: nprobe == n_centroids probes EVERY partition, so
+        # the IVF machinery must equal brute-force kNN — same oracle text.
+        "ivf_knn_exact": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < {_KNN_QUERIES}
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding::DOUBLE[])
+                     AS cosine
+          FROM q, embeddings e WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+               cosine
+        FROM s
+        QUALIFY rank <= {_KNN_K}
         """,
         "embedding_knn": f"""
         WITH q AS (

@@ -197,10 +197,15 @@ def assign_centroids(embeddings: ray.data.Dataset, centroids: np.ndarray,
 
 def ivf_search(assigned: ray.data.Dataset, centroids: np.ndarray,
                query_ids: list[int], k: int = 10, nprobe: int = 4,
-               id_col: str = "vec_id", emb_col: str = "embedding"
-               ) -> ray.data.Dataset:
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               exact_parity: bool = False) -> ray.data.Dataset:
     """ANN top-k probing only the ``nprobe`` nearest centroid partitions
-    per query. Recall < 1 by design; tested against ``knn_brute``."""
+    per query. Recall < 1 by design; tested against ``knn_brute``.
+
+    With ``nprobe >= len(centroids)`` every partition is probed and the
+    result is EXACTLY brute-force kNN — the limit the DuckDB oracle
+    checks bit-for-bit (``exact_parity=True`` scores with the
+    sequential-accumulation cosine for double parity)."""
     qrows = _take_rows_by_id(assigned, query_ids, id_col)
     qrows.sort(key=lambda r: r[id_col])
     qmat = _normalize(np.array([r[emb_col] for r in qrows],
@@ -210,7 +215,7 @@ def ivf_search(assigned: ray.data.Dataset, centroids: np.ndarray,
     pruned = assigned.filter(
         expr=f"centroid_id in {sorted(probe_set)}")
     return knn_brute(pruned, query_ids, k=k, id_col=id_col,
-                     emb_col=emb_col)
+                     emb_col=emb_col, exact_parity=exact_parity)
 
 
 def ivf_build(embeddings: ray.data.Dataset, index_dir: str,
