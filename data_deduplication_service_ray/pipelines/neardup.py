@@ -139,8 +139,9 @@ def _exact_group_task(block_refs: list, k: int, nparts: int
     lo_a = np.array([lo], dtype="S64")
     hi_a = None if hi is None else np.array([hi], dtype="S64")
     ss_l, ff_l = [], []
-    for ref in block_refs:
-        t = ray.get(ref)
+    # one batch get — per-ref gets cost ~0.2 ms each in-task even for
+    # local objects (see _expand_range_task)
+    for t in ray.get(block_refs):
         s = _sha_s64(t["content_sha256"])
         i0 = int(np.searchsorted(s, lo_a)[0])
         i1 = len(s) if hi_a is None else int(np.searchsorted(s, hi_a)[0])

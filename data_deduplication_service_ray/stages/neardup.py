@@ -412,8 +412,7 @@ def _band_bitmap_task(src_refs: list, expand, m: int
     nbytes = m >> 3
     once = np.zeros(nbytes, dtype=np.uint8)
     multi = np.zeros(nbytes, dtype=np.uint8)
-    for ref in src_refs:
-        t = ray.get(ref)
+    for t in ray.get(src_refs):
         bt = expand(t) if expand is not None else t
         h = _i64_view(bt["band_hash"]).view(np.uint64)
         slots = (h & np.uint64(m - 1)).astype(np.int64)
@@ -424,6 +423,27 @@ def _band_bitmap_task(src_refs: list, expand, m: int
         _set_bits(multi, uo[seen])
         _set_bits(once, uo)
     return once, multi
+
+
+@ray.remote
+def _bitmap_merge_task(*parts, final: bool = False):
+    """Associative fold of (once, multi) bitmap summaries — the same
+    once&once -> multi rule as the in-task merge, so any grouping of
+    parts yields the same result. ``final=True`` returns only the
+    multi bitmap (the object the filter tasks read). Runs as a small
+    task TREE so the driver never touches bitmap bytes: the previous
+    driver-side completion-order OR merge was ~1.0 s of SERIAL time at
+    m=2^28 over 32 part pairs (profiled round 4, 1.28M files) — an
+    Amdahl term the low-CPU leg hides behind slower leaf tasks but the
+    high-CPU leg pays in full (candidates stage 4→16 efficiency 0.62)."""
+    o0, m0 = parts[0]
+    once = o0.copy()
+    multi = m0.copy()
+    for o, mlt in parts[1:]:
+        multi |= mlt
+        multi |= once & o
+        once |= o
+    return multi if final else (once, multi)
 
 
 @ray.remote(num_returns=2)
@@ -455,31 +475,26 @@ def _pairable_sorted_refs(src_refs: list, expand, n_rows: int,
                           filter_expands: list | None = None
                           ) -> tuple[list, int]:
     """Raw-task singleton pre-filter over source block refs: grouped
-    bitmap tasks -> driver once/multi merge -> one filter+sort task per
-    block. The candidates stage runs with ZERO Ray Data executor
+    bitmap tasks -> task-tree once/multi merge -> one filter+sort task
+    per block. The candidates stage runs with ZERO Ray Data executor
     spin-ups on this path (the per-materialize fixed cost was a large
     share of the stage at high CPU counts), and the band table is never
     materialized — each task expands its block's bands in memory."""
     import ray as _ray
 
     m = _bitmap_m(n_rows)
-    nbytes = m >> 3
     n_groups = min(32, max(1, len(src_refs)))
     groups = [src_refs[i::n_groups] for i in range(n_groups)]
     futs = [_band_bitmap_task.remote(g, expand, m)
             for g in groups if g]
-    acc_once = np.zeros(nbytes, dtype=np.uint8)
-    acc_multi = np.zeros(nbytes, dtype=np.uint8)
-    # merge in COMPLETION order (the once&once->multi rule is
-    # commutative/associative over part summaries), overlapping the
-    # driver's OR passes with the straggler tasks
-    while futs:
-        done, futs = _ray.wait(futs, num_returns=1)
-        o, mlt = _ray.get(done[0])
-        acc_multi |= mlt
-        acc_multi |= acc_once & o
-        acc_once |= o
-    bm_ref = _ray.put(acc_multi)
+    # associative task-tree reduce (fan-in 8; see _bitmap_merge_task):
+    # bm_ref is the FINAL merge task's output and is never ray.get on
+    # the driver — zero driver bitmap bytes, zero serial OR time.
+    fan = 8
+    while len(futs) > fan:
+        futs = [_bitmap_merge_task.remote(*futs[i:i + fan])
+                for i in range(0, len(futs), fan)]
+    bm_ref = _bitmap_merge_task.remote(*futs, final=True)
     fx = filter_expands or [expand] * len(src_refs)
     outs = [_band_filter_sort_task.remote(r, fx[i], bm_ref, m)
             for i, r in enumerate(src_refs)]
@@ -669,8 +684,8 @@ def _expand_range_task(block_refs: list, lo: int, hi: int | None,
     range."""
     bs, fs, xs = [], [], []
     indexed = False
-    for ref in block_refs:
-        t = ray.get(ref)
+    # one batch get (resolves all refs in one pass; views zero-copy)
+    for t in ray.get(block_refs):
         bh = _i64_view(t["band_hash"])
         i0 = int(np.searchsorted(bh, lo, side="left"))
         i1 = (len(bh) if hi is None
@@ -1471,7 +1486,7 @@ def _merge_sig4_task(block_refs: list, num_perms: int,
     word op. ``sort=False`` keeps CONCAT (block) order — the fused
     path indexes it positionally via the per-block offsets, so no sort
     and no id lookups exist anywhere."""
-    tbl = pa.concat_tables([ray.get(r) for r in block_refs])
+    tbl = pa.concat_tables(ray.get(block_refs))
     ids = np.asarray(tbl["file_id"].to_numpy(zero_copy_only=False),
                      dtype=np.int64)
     nbytes = 8 * _sig_words(num_perms)
@@ -1907,8 +1922,7 @@ def _verify_chunk_task(pairs_tbl: pa.Table, doc_refs: list,
         np.empty(0, dtype=np.int64))
     texts: dict[int, str] = {}
     if len(needed):
-        for r in doc_refs:
-            t = ray.get(r)
+        for t in ray.get(doc_refs):
             fid = _i64_view(t["file_id"])
             if not len(fid):
                 continue
