@@ -591,3 +591,34 @@ def test_nibble_kernels_match_direct_compare():
         # the planted identical pair scores a full match
         full = nd._nibble_eq_counts(words[[10]], words[[11]], num_perms)
         assert full[0] == num_perms
+
+
+def test_bitmap_tree_merge_matches_serial():
+    """The fan-in-8 task tree over (once, multi) bitmap summaries must
+    equal the serial completion-order fold it replaced (the once&once
+    -> multi rule is associative), for any leaf count — including one
+    that exercises multiple tree levels and a ragged tail group."""
+    import numpy as np
+    import ray
+
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    rng = np.random.default_rng(7)
+    nbytes = 256
+    for n_leaves in (1, 3, 8, 9, 20):
+        parts = [(rng.integers(0, 256, nbytes).astype(np.uint8),
+                  rng.integers(0, 256, nbytes).astype(np.uint8))
+                 for _ in range(n_leaves)]
+        once = np.zeros(nbytes, dtype=np.uint8)
+        multi = np.zeros(nbytes, dtype=np.uint8)
+        for o, mlt in parts:
+            multi |= mlt
+            multi |= once & o
+            once |= o
+        futs = [ray.put(p) for p in parts]
+        fan = 8
+        while len(futs) > fan:
+            futs = [nd._bitmap_merge_task.remote(*futs[i:i + fan])
+                    for i in range(0, len(futs), fan)]
+        got = ray.get(nd._bitmap_merge_task.remote(*futs, final=True))
+        assert np.array_equal(got, multi), n_leaves
