@@ -670,8 +670,11 @@ ORACLE_SQL = {
     """,
     # robust winnowing (rightmost minimal hash per sliding window,
     # deduped by position) with window functions: the tie-break key
-    # h*1e6 + (1e6 - i) makes MIN pick the smallest hash, rightmost
-    # position — exactly text.winnow's selection rule
+    # h*2^32 + (2^32-1 - i) makes MIN pick the smallest hash, rightmost
+    # position — exactly text.winnow's selection rule. The position
+    # field holds any i < 2^32 (4.3 B chars) and h < 2^31 keeps the
+    # key inside int64; the former 1e6 multiplier silently corrupted
+    # keys for documents past ~1e6 k-gram positions.
     "fingerprints_sql": f"""
         WITH d AS (
           SELECT doc_id AS file_id, text, length(text) AS n
@@ -699,7 +702,8 @@ ORACLE_SQL = {
         ),
         h AS (SELECT * FROM long_h UNION ALL SELECT * FROM short_h),
         keyed AS (
-          SELECT file_id, m, i, h * 1000000 + (1000000 - i) AS key
+          SELECT file_id, m, i,
+                 h * 4294967296 + (4294967295 - i) AS key
           FROM h
         ),
         wins AS (
@@ -711,8 +715,8 @@ ORACLE_SQL = {
           FROM keyed
         ),
         sel AS (
-          SELECT DISTINCT file_id, minkey // 1000000 AS h,
-                 1000000 - (minkey % 1000000) AS selpos
+          SELECT DISTINCT file_id, minkey // 4294967296 AS h,
+                 4294967295 - (minkey % 4294967296) AS selpos
           FROM wins WHERE s <= greatest(1, m - {_FP_W} + 1)
         )
         SELECT file_id, CAST(h AS BIGINT) AS fp_hash FROM sel

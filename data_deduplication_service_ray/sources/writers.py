@@ -108,8 +108,10 @@ def export_files(ds: ray.data.Dataset, root: str,
         # two runs could disagree. Ids come back as a vectorized
         # column pull, not take_all row dicts.
         ds = ds.materialize()
+        # native values, not int(v): id_col is a generic parameter and
+        # string/binary ids must round-trip unchanged
         ids = sorted({
-            int(v)
+            v
             for b in ds.select_columns([id_col]).iter_batches(
                 batch_format="pyarrow", batch_size=None)
             for v in b[id_col].to_pylist()})

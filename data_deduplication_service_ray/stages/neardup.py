@@ -1905,15 +1905,49 @@ def verify_batch(batch: pa.Table, *, cfg: PipelineConfig) -> pa.Table:
     return stage(batch)
 
 
+_EMPTY_CONTENT = pa.table({"file_id": pa.array([], pa.int64()),
+                           "content": pa.array([], pa.large_string())})
+
+
+@ray.remote
+def _slice_content_block_task(t: pa.Table, needed: np.ndarray) -> pa.Table:
+    """Extract (file_id, content) rows whose id is in the sorted
+    ``needed`` array, returned as ONE single-chunk table. Runs once per
+    doc block BEFORE the verify chunk tasks: without this wave each of
+    the ~40 chunk tasks at the top of the verify gate iterated every
+    content block and paid its own combine_chunks() copy of the same
+    multi-chunk blocks concurrently (the documented mmap page-zeroing
+    serialization trap), and on a multi-node cluster would ship the
+    whole content table per task. The sliced outputs are tiny
+    (≤ 2 x pair count rows total across all blocks)."""
+    fid = _i64_view(t["file_id"])
+    if not len(fid) or not len(needed):
+        return _EMPTY_CONTENT
+    pos = np.minimum(np.searchsorted(needed, fid), len(needed) - 1)
+    idx = np.flatnonzero(needed[pos] == fid)
+    if not len(idx):
+        return _EMPTY_CONTENT
+    content = t["content"]
+    if content.num_chunks != 1:
+        content = content.combine_chunks()
+    else:
+        content = content.chunk(0)
+    return pa.table({
+        "file_id": pa.array(fid[idx]),
+        "content": content.take(pa.array(idx))})
+
+
 @ray.remote
 def _verify_chunk_task(pairs_tbl: pa.Table, doc_refs: list,
                        cfg: PipelineConfig) -> pa.Table:
     """Attach + score one chunk of pairs in a single raw task.
 
-    ``doc_refs`` is a plain list (NOT auto-dereferenced), so each block
-    is mapped zero-copy on demand; only the rows this chunk's pairs
-    reference are gathered. Shingle sets are shared across pairs via the
-    per-process ``VerifyStage`` cache."""
+    ``doc_refs`` is a plain list (NOT auto-dereferenced) of the
+    PRE-SLICED content blocks from ``_slice_content_block_task`` —
+    small, single-chunk, holding only ids some pair references; this
+    chunk's own gather narrows further to its pairs' rows. Shingle
+    sets are shared across pairs via the per-process ``VerifyStage``
+    cache."""
     a = np.asarray(pairs_tbl["a"].to_numpy(zero_copy_only=False),
                    dtype=np.int64)
     b = np.asarray(pairs_tbl["b"].to_numpy(zero_copy_only=False),
@@ -1963,7 +1997,6 @@ def _maybe_small_verify(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                                       batch_size=None))
     tbl = (pa.concat_tables(batches).combine_chunks() if batches
            else None)
-    doc_refs = list(docs.to_arrow_refs())
     if tbl is None:
         # run the empty table through one task anyway: the scored
         # schema (jaccard/contained appended) falls out for free
@@ -1972,9 +2005,21 @@ def _maybe_small_verify(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                           "est": pa.array([], pa.float64()),
                           "hamming": pa.array([], pa.int64())})
         return ray.data.from_arrow_refs(
-            [_verify_chunk_task.remote(empty, doc_refs, cfg)])
+            [_verify_chunk_task.remote(empty, [], cfg)])
+    # wave 1: slice every doc block down to the referenced ids ONCE
+    # (see _slice_content_block_task); wave 2 chunk tasks read only
+    # the slim slices
+    needed = np.unique(np.concatenate([
+        np.asarray(tbl["a"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64),
+        np.asarray(tbl["b"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)]))
+    needed_ref = ray.put(needed)
+    slim_refs = [_slice_content_block_task.remote(r, needed_ref)
+                 for r in docs.to_arrow_refs()]
     chunk = 512
-    refs = [_verify_chunk_task.remote(tbl.slice(s, chunk), doc_refs, cfg)
+    refs = [_verify_chunk_task.remote(tbl.slice(s, chunk), slim_refs,
+                                      cfg)
             for s in range(0, tbl.num_rows, chunk)]
     return ray.data.from_arrow_refs(refs)
 

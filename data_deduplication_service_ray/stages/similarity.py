@@ -341,22 +341,30 @@ def _cosine_block_pair_task(ta: pa.Table, tb: pa.Table, tau: float,
     """Parity-cosine pairs >= tau between two embedding blocks (every
     unordered cross-block pair is evaluated exactly once; ``same=True``
     restricts to the upper triangle). Output normalized to a < b."""
-    ids_a = np.asarray(ta[id_col].to_numpy(zero_copy_only=False),
-                       dtype=np.int64)
+    all_ids_a = np.asarray(ta[id_col].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
     ids_b = np.asarray(tb[id_col].to_numpy(zero_copy_only=False),
                        dtype=np.int64)
-    mat_a = _batch_matrix(ta, emb_col)
+    all_mat_a = _batch_matrix(ta, emb_col)
     mat_b = _batch_matrix(tb, emb_col)
     outs_a, outs_b, outs_c = [], [], []
-    for off in range(0, len(ids_b), inner_chunk):
-        jids = ids_b[off:off + inner_chunk]
-        sims = _cosine_parity(mat_a, mat_b[off:off + inner_chunk])
-        cmp = (ids_a[:, None] < jids[None, :] if same
-               else ids_a[:, None] != jids[None, :])
-        ii, jj = np.nonzero((sims >= tau) & cmp)
-        outs_a.append(np.minimum(ids_a[ii], jids[jj]))
-        outs_b.append(np.maximum(ids_a[ii], jids[jj]))
-        outs_c.append(sims[ii, jj])
+    # chunk BOTH sides: a materialized block can be ~100k rows, and an
+    # unchunked A side makes the sims/cmp temporaries n_a x inner_chunk
+    # (hundreds of MB) — the documented mmap page-zeroing trap across
+    # concurrent workers. Bounding both keeps each temporary
+    # inner_chunk² doubles (~0.5 MB).
+    for aoff in range(0, len(all_ids_a), inner_chunk):
+        ids_a = all_ids_a[aoff:aoff + inner_chunk]
+        mat_a = all_mat_a[aoff:aoff + inner_chunk]
+        for off in range(0, len(ids_b), inner_chunk):
+            jids = ids_b[off:off + inner_chunk]
+            sims = _cosine_parity(mat_a, mat_b[off:off + inner_chunk])
+            cmp = (ids_a[:, None] < jids[None, :] if same
+                   else ids_a[:, None] != jids[None, :])
+            ii, jj = np.nonzero((sims >= tau) & cmp)
+            outs_a.append(np.minimum(ids_a[ii], jids[jj]))
+            outs_b.append(np.maximum(ids_a[ii], jids[jj]))
+            outs_c.append(sims[ii, jj])
     return pa.table({
         "a": pa.array(np.concatenate(outs_a) if outs_a
                       else np.empty(0, dtype=np.int64)),
@@ -366,12 +374,11 @@ def _cosine_block_pair_task(ta: pa.Table, tb: pa.Table, tau: float,
                            else np.empty(0), pa.float64())})
 
 
-def _cosine_pairs_block_tasks(embeddings: ray.data.Dataset, tau: float,
+def _cosine_pairs_block_tasks(emb2: ray.data.Dataset, tau: float,
                               id_col: str, emb_col: str,
                               inner_chunk: int) -> ray.data.Dataset:
     """Past-the-gate brute path: one task per unordered block pair over
-    the materialized slim embedding table (zero driver bytes)."""
-    emb2 = embeddings.select_columns([id_col, emb_col]).materialize()
+    the MATERIALIZED slim embedding table (zero driver bytes)."""
     refs = list(emb2.to_arrow_refs())
     tasks = [_cosine_block_pair_task.remote(refs[i], refs[j], tau,
                                             i == j, id_col, emb_col,
@@ -390,10 +397,14 @@ def cosine_pairs_brute(embeddings: ray.data.Dataset, tau: float,
     (``embedding_neardup_pairs``) is the scale alternative; past
     ``BRUTE_PAIR_ROW_LIMIT`` rows the driver pull is replaced by
     block-pair tasks (identical pair set and values)."""
-    if embeddings.count() > BRUTE_PAIR_ROW_LIMIT:
-        return _cosine_pairs_block_tasks(embeddings, tau, id_col,
+    # select + materialize ONCE: counting a lazy input and then pulling
+    # it would execute the upstream pipeline twice (same fix as
+    # writers.export_files' retrieval path)
+    emb2 = embeddings.select_columns([id_col, emb_col]).materialize()
+    if emb2.count() > BRUTE_PAIR_ROW_LIMIT:
+        return _cosine_pairs_block_tasks(emb2, tau, id_col,
                                          emb_col, inner_chunk)
-    all_rows = embeddings.select_columns([id_col, emb_col]).take_all()
+    all_rows = emb2.take_all()
     all_rows.sort(key=lambda r: r[id_col])
     ids_all = np.array([r[id_col] for r in all_rows], dtype=np.int64)
     mat_all = np.array([r[emb_col] for r in all_rows], dtype=np.float64)
@@ -422,7 +433,7 @@ def cosine_pairs_brute(embeddings: ray.data.Dataset, tau: float,
                                else np.empty(0), pa.float64()),
         })
 
-    return embeddings.map_batches(block, batch_format="pyarrow")
+    return emb2.map_batches(block, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(embeddings: ray.data.Dataset, dim: int,

@@ -64,8 +64,12 @@ def main() -> None:
         for k, v in (r.get("stages_32cpu") or {}).items():
             hi_stages.setdefault(k, []).append(v)
 
-    t_lo_star = sum(min(v) for v in lo_stages.values())
-    t_hi_star = sum(min(v) for v in hi_stages.values())
+    # sum over the INTERSECTION of stage keys (same rule as the
+    # stage_table below): a stage logged on only one side (partial leg,
+    # mixed-format logs) must not bias the ratio silently
+    common = [k for k in lo_stages if k in hi_stages]
+    t_lo_star = sum(min(lo_stages[k]) for k in common)
+    t_hi_star = sum(min(hi_stages[k]) for k in common)
     ratio = hi / lo
     out = {
         "iterations": len(iters),
