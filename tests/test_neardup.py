@@ -622,3 +622,34 @@ def test_bitmap_tree_merge_matches_serial():
                     for i in range(0, len(futs), fan)]
         got = ray.get(nd._bitmap_merge_task.remote(*futs, final=True))
         assert np.array_equal(got, multi), n_leaves
+
+
+def test_slice_content_block_task_filters_and_combines():
+    """The verify wave's per-block slice task must return only the
+    referenced ids as a SINGLE-chunk table, for multi-chunk inputs,
+    no-match blocks, and empty needed sets alike."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    blk = pa.concat_tables([
+        pa.table({"file_id": pa.array([3, 7], pa.int64()),
+                  "content": pa.array(["aa", "bb"], pa.large_string())}),
+        pa.table({"file_id": pa.array([9, 12], pa.int64()),
+                  "content": pa.array(["cc", "dd"], pa.large_string())})])
+    assert blk["content"].num_chunks == 2
+
+    out = ray.get(nd._slice_content_block_task.remote(
+        blk, np.array([7, 9, 100], dtype=np.int64)))
+    assert out["content"].num_chunks == 1
+    assert out["file_id"].to_pylist() == [7, 9]
+    assert out["content"].to_pylist() == ["bb", "cc"]
+
+    none = ray.get(nd._slice_content_block_task.remote(
+        blk, np.array([42], dtype=np.int64)))
+    assert none.num_rows == 0
+    empty = ray.get(nd._slice_content_block_task.remote(
+        blk, np.empty(0, dtype=np.int64)))
+    assert empty.num_rows == 0
