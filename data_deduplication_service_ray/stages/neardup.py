@@ -502,15 +502,24 @@ def _pairable_sorted_refs(src_refs: list, expand, n_rows: int,
     return [t for t, _c in outs], int(sum(counts))
 
 
-#: Expand bucket pairs on the DRIVER while the FILTERED (singleton-free)
-#: band table holds at most this many rows (16 B/row => ~512 MB pull):
-#: expansion fans out as bucket-aligned Ray tasks either way (sorted
-#: exact-weight slices below _DRIVER_SORT_LIMIT, hash partitions above),
-#: while the distributed hash self-join pays ~10 s of shuffle on this
-#: host at any input size. Past the limit the Arrow C++ self-join runs —
-#: identical pair multiset either way (buckets are capped, so per-bucket
-#: expansion is bounded in both paths).
-DRIVER_PAIR_EXPAND_LIMIT = gate(32_000_000)
+#: Run bucket expansion as band_hash-range tasks over the sorted
+#: pairable blocks while the FILTERED (singleton-free) band table holds
+#: at most this many rows. The name is historical: above
+#: _DRIVER_SORT_LIMIT the driver touches NOTHING (range tasks slice the
+#: blocks straight from the object store), so this gate no longer
+#: bounds a driver pull — it chooses range-task expansion vs the Arrow
+#: C++ hash self-join, which pays ~10 s of shuffle fixed cost on this
+#: host at any size. Identical pair multiset either way (buckets are
+#: capped, so per-bucket expansion is bounded in both paths). Sizing:
+#: 128M rows = 2 GB of sorted blocks resident in the object store
+#: (spillable); the 32M default previously inherited the pull-path
+#: rationale and cliffed a 2.56M-file corpus onto the self-join
+#: (candidates 5.5 s -> 80.6 s measured round 4). On a MULTI-NODE
+#: cluster each range task maps every block, so cross-node traffic is
+#: ~nparts/nodes x table size per node — on such deployments lower
+#: this gate (or pre-partition; see _expand_range_task's docstring for
+#: why mask-scan partition tasks lost on one box's memory bus).
+DRIVER_PAIR_EXPAND_LIMIT = gate(128_000_000)
 
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
