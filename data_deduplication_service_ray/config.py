@@ -134,17 +134,31 @@ class PipelineConfig:
         return replace(self, **kw)
 
 
-def gate(value: int) -> int:
+def gate(value: int, name: str | None = None) -> int:
     """Count-gate limit helper. The house pattern is "count-gated driver
     fast paths with parity-tested distributed fallbacks": every limit
     below which a single-process shortcut runs is declared through this
     function, so ``GRAFT_FORCE_DISTRIBUTED=1`` zeroes them all at import
     time and the whole pipeline runs the code paths a real multi-node
     cluster would — the benchmark for those paths is recorded in
-    BASELINE.md."""
+    BASELINE.md.
+
+    ``name`` additionally exposes the gate as ``GRAFT_GATE_<NAME>`` so a
+    deployment can retune ONE limit without a code edit (e.g. lowering
+    ``GRAFT_GATE_DRIVER_PAIR_EXPAND_LIMIT`` on a multi-node cluster,
+    where each range-expansion task maps every sorted block and the
+    single-box zero-copy rationale no longer holds). The per-gate
+    override wins over the default; FORCE_DISTRIBUTED zeroes even
+    overridden gates (it is the "run every fallback" switch)."""
     import os
 
-    return 0 if os.environ.get("GRAFT_FORCE_DISTRIBUTED") == "1" else value
+    if os.environ.get("GRAFT_FORCE_DISTRIBUTED") == "1":
+        return 0
+    if name is not None:
+        env = os.environ.get(f"GRAFT_GATE_{name.upper()}")
+        if env is not None:
+            return int(env)
+    return value
 
 
 def join_parts(cfg: PipelineConfig) -> int:

@@ -47,13 +47,13 @@ from data_deduplication_service_ray.stages import exact, neardup, normalize
 #: ~72 B/row => ~1.4 GiB at the limit) while the distinct-content count
 #: stays below this; past it, representatives/exact_edges fall back to
 #: the fused content-carrying ``exact.rep_groups`` shuffle.
-REP_BROADCAST_LIMIT = gate(20_000_000)
+REP_BROADCAST_LIMIT = gate(20_000_000, "rep_broadcast_limit")
 
 #: Below this many catalog rows the exact grouping is ONE np.lexsort on
 #: the driver (the slim catalog is ~72 B/row, so 5M rows ≈ 360 MB);
 #: Ray's sort-shuffle aggregate costs seconds of fixed setup that dwarfs
 #: a driver reduce at this size. Past it, the distributed groupby runs.
-DRIVER_GROUP_LIMIT = gate(5_000_000)
+DRIVER_GROUP_LIMIT = gate(5_000_000, "driver_group_limit")
 
 #: Between this and DRIVER_GROUP_LIMIT rows, the exact grouping runs as
 #: sha-prefix-partitioned Ray tasks over the catalog's block refs (each
@@ -63,7 +63,7 @@ DRIVER_GROUP_LIMIT = gate(5_000_000)
 #: The tasks also emit the member→rep edges, so the sha→rep broadcast
 #: disappears on this path. Below the limit the driver sort is cheaper
 #: than task dispatch.
-TASK_GROUP_LIMIT = gate(100_000)
+TASK_GROUP_LIMIT = gate(100_000, "task_group_limit")
 
 
 def _sha_s64(col: pa.ChunkedArray) -> np.ndarray:

@@ -150,7 +150,7 @@ def cc_min_labels(a: np.ndarray, b: np.ndarray) -> pa.Table:
 #: Broadcast the label table into the attach step below this row count
 #: (labels cover only nodes with >=1 duplicate edge, a small fraction of
 #: any real corpus); past it, fall back to a left-outer hash join.
-BROADCAST_LABEL_LIMIT = gate(5_000_000)
+BROADCAST_LABEL_LIMIT = gate(5_000_000, "broadcast_label_limit")
 
 
 def attach_singletons(labels: ray.data.Dataset,

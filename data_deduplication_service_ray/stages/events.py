@@ -101,7 +101,7 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30
 #: Stitch partial sessions on the driver below this count. Partial
 #: sessions ≈ true sessions + one potential split per block boundary, so
 #: the stitch input is session-sized, not event-sized.
-SESSION_STITCH_LIMIT = gate(5_000_000)
+SESSION_STITCH_LIMIT = gate(5_000_000, "session_stitch_limit")
 
 
 def sessionize_sorted(events: ray.data.Dataset, gap_minutes: int = 30

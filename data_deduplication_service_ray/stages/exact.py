@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Min, Sum
 #: small-corpus query; past the limit the distributed path runs
 #: unchanged. Same discipline as the neardup driver gates (parity is
 #: exact — the single task computes the identical merge).
-SINGLE_TASK_FINALIZE_LIMIT = gate(2_000_000)
+SINGLE_TASK_FINALIZE_LIMIT = gate(2_000_000, "single_task_finalize_limit")
 
 
 def finalize_small(partials: ray.data.Dataset, final_fn,

@@ -482,6 +482,8 @@ def _pairable_sorted_refs(src_refs: list, expand, n_rows: int,
     materialized — each task expands its block's bands in memory."""
     import ray as _ray
 
+    if not src_refs:        # no blocks -> no band rows, nothing to filter
+        return [], 0
     m = _bitmap_m(n_rows)
     n_groups = min(32, max(1, len(src_refs)))
     groups = [src_refs[i::n_groups] for i in range(n_groups)]
@@ -519,7 +521,7 @@ def _pairable_sorted_refs(src_refs: list, expand, n_rows: int,
 #: ~nparts/nodes x table size per node — on such deployments lower
 #: this gate (or pre-partition; see _expand_range_task's docstring for
 #: why mask-scan partition tasks lost on one box's memory bus).
-DRIVER_PAIR_EXPAND_LIMIT = gate(128_000_000)
+DRIVER_PAIR_EXPAND_LIMIT = gate(128_000_000, "driver_pair_expand_limit")
 
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
@@ -798,7 +800,7 @@ def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
 #: beats task dispatch at small sizes. Identical pair multiset either
 #: way: per-bucket expansion only needs the bucket's rows contiguous
 #: and fid-sorted, which both paths provide.
-_DRIVER_SORT_LIMIT = gate(2_000_000)
+_DRIVER_SORT_LIMIT = gate(2_000_000, "driver_sort_limit")
 
 
 def candidate_pairs(bands: ray.data.Dataset, cfg: PipelineConfig,
@@ -1206,7 +1208,7 @@ def _distributed_candidates(pairable: ray.data.Dataset,
 #: (est-surviving pairs scale with true duplicate density, not corpus
 #: size, but CAN exceed it) the distributed groupby runs; both paths
 #: produce identical rows.
-DRIVER_DISTINCT_LIMIT = gate(2_000_000)
+DRIVER_DISTINCT_LIMIT = gate(2_000_000, "driver_distinct_limit")
 
 
 def _driver_distinct_table(tbl: pa.Table) -> pa.Table:
@@ -1369,7 +1371,7 @@ def _join_both_sides(pairs: ray.data.Dataset, table: ray.data.Dataset,
 #: in an int64), so the limit must stay below 2^30 rows. At cluster
 #: scale the limit keeps the broadcast bounded regardless of corpus
 #: size.
-BROADCAST_SIG_LIMIT = gate(4_000_000)
+BROADCAST_SIG_LIMIT = gate(4_000_000, "broadcast_sig_limit")
 
 #: Fuse estimate-prefilter + distinct on the DRIVER while the raw
 #: occurrence set is at most this many rows (~25 B/row => ~500 MB pull):
@@ -1378,7 +1380,7 @@ BROADCAST_SIG_LIMIT = gate(4_000_000)
 #: and a separate distinct — the biggest serial-vs-fixed-cost win in the
 #: verify stage at sub-gate sizes. Past the limit the distributed
 #: estimate + distinct run unchanged (identical rows; parity-tested).
-DRIVER_EST_LIMIT = gate(20_000_000)
+DRIVER_EST_LIMIT = gate(20_000_000, "driver_est_limit")
 
 
 def _pair_cut_arrays(nsh_a: np.ndarray, nsh_b: np.ndarray,
@@ -2043,7 +2045,7 @@ def _maybe_small_verify(pairs: ray.data.Dataset, docs: ray.data.Dataset,
 #: r3→r4 sf0.1 regression: verify 0.85→2.55 s at 241 pairs); above the
 #: gate the locator flow's shared filtered-content index wins because
 #: chunk tasks would each rescan the doc blocks.
-DRIVER_VERIFY_LIMIT = gate(20_000)
+DRIVER_VERIFY_LIMIT = gate(20_000, "driver_verify_limit")
 
 #: Broadcast pair contents when at most this many pairs survived the
 #: prefilter; beyond it (or when the pair count is unknown because the
@@ -2053,7 +2055,7 @@ DRIVER_VERIFY_LIMIT = gate(20_000)
 #: attach task maps it zero-copy, so ~1M pairs x ~1 KiB docs ≈ low GBs;
 #: the measured alternative (two content hash joins) was 3-4x slower at
 #: 146k pairs because content rides the shuffle twice.
-BROADCAST_PAIR_LIMIT = gate(1_000_000)
+BROADCAST_PAIR_LIMIT = gate(1_000_000, "broadcast_pair_limit")
 
 
 def _fetch_pair_contents(pairs: ray.data.Dataset,

@@ -66,8 +66,12 @@ def main() -> None:
 
     # sum over the INTERSECTION of stage keys (same rule as the
     # stage_table below): a stage logged on only one side (partial leg,
-    # mixed-format logs) must not bias the ratio silently
+    # mixed-format logs) must not bias the ratio silently — and the
+    # exclusion itself must not be silent either: dropped keys are
+    # surfaced as ``stages_excluded`` so a mixed-format campaign shows
+    # its reduced stage coverage in the report.
     common = [k for k in lo_stages if k in hi_stages]
+    excluded = sorted(set(lo_stages) ^ set(hi_stages))
     t_lo_star = sum(min(lo_stages[k]) for k in common)
     t_hi_star = sum(min(hi_stages[k]) for k in common)
     ratio = hi / lo
@@ -78,6 +82,7 @@ def main() -> None:
         "pooled_whole_run_best_of": round(
             (min(lo_secs) / min(hi_secs)) / ratio, 3),
         "stage_wise_best_of": round((t_lo_star / t_hi_star) / ratio, 3),
+        "stages_excluded": excluded,
         "best_single_iteration": round(best_iter["value"], 3),
         "best_iteration_ceiling": best_iter.get("hw_ceiling_efficiency"),
         "t_lo_star_sec": round(t_lo_star, 3),
