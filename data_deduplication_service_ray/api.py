@@ -327,6 +327,36 @@ def q_ngram_jaccard(sf_dir: str):
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+#: exact-Jaccard oracle constants (shared by queries and SQL below)
+_JAC_K = 8
+_JAC_TAU = 0.5
+
+
+def q_jaccard_edges(sf_dir: str):
+    """Exact all-pairs char-8-gram Jaccard edges at tau=0.5 — the
+    SQL-exact pair set (stages/jaccard.py: shared-gram-count threshold
+    identity + gram-string re-verify). Unlike ``ngram_jaccard`` (fixed
+    consecutive pair list) this exercises the real bucket candidate
+    machinery with a value-level oracle."""
+    from data_deduplication_service_ray.stages.jaccard import (
+        exact_jaccard_edges)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return exact_jaccard_edges(docs, k=_JAC_K, tau=_JAC_TAU, cfg=CFG)
+
+
+def q_jaccard_clusters(sf_dir: str):
+    """Connected-components clusters over the exact Jaccard edge set —
+    the SAME ``cc_min_labels`` + ``attach_singletons`` machinery as the
+    flagship ``lsh_clusters`` output, adjudicated by a DuckDB
+    recursive-CTE min-label oracle (VERDICT r4 #1)."""
+    from data_deduplication_service_ray.stages.jaccard import (
+        exact_jaccard_clusters)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return exact_jaccard_clusters(docs, k=_JAC_K, tau=_JAC_TAU, cfg=CFG)
+
+
 def q_containment(sf_dir: str):
     """Substring containment among near-dup cluster members."""
     from data_deduplication_service_ray.stages.containment import (
@@ -616,6 +646,8 @@ QUERIES = {
     "neardup_pairs": q_neardup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "jaccard_edges": q_jaccard_edges,
+    "jaccard_clusters": q_jaccard_clusters,
     "containment": q_containment,
     "containment_sql": q_containment_sql,
     "text_stats": q_text_stats,
@@ -856,6 +888,64 @@ ORACLE_SQL = {
         LEFT JOIN inter i ON i.ia = ca.doc_id
     """,
 }
+
+
+#: shared CTE chain for the exact all-pairs Jaccard oracles: distinct
+#: char k-gram sets, per-doc counts, all-pairs intersection counts
+#: (empty docs excluded, partial-tail gram for len < k — both matching
+#: stages/jaccard.py)
+_JACCARD_CTES = f"""
+  g AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               1, greatest(length(text) - {_JAC_K - 1}, 1))) AS i
+    FROM documents WHERE length(text) > 0
+  ), gsets AS (
+    SELECT DISTINCT doc_id,
+           substring(text, CAST(i AS BIGINT), {_JAC_K}) AS gram
+    FROM g
+  ), counts AS (
+    SELECT doc_id, count(*) AS n FROM gsets GROUP BY 1
+  ), inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+    FROM gsets a JOIN gsets b
+      ON a.gram = b.gram AND b.doc_id > a.doc_id
+    GROUP BY 1, 2
+  ), jedges AS (
+    SELECT CAST(i.ia AS BIGINT) AS a, CAST(i.ib AS BIGINT) AS b,
+           CAST(i.i AS DOUBLE)
+               / CAST(ca.n + cb.n - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.ia
+    JOIN counts cb ON cb.doc_id = i.ib
+    WHERE CAST(i.i AS DOUBLE)
+              / CAST(ca.n + cb.n - i.i AS DOUBLE) >= {_JAC_TAU}
+  )
+"""
+
+ORACLE_SQL["jaccard_edges"] = (
+    "WITH" + _JACCARD_CTES + "SELECT a, b, jaccard FROM jedges")
+
+# connected components in SQL: symmetric closure of the edge set, then
+# recursive min-label reachability (label L reaches node N) — min over
+# reached labels = the component's minimum member id, exactly
+# cc_min_labels' contract (stages/cluster.py).
+ORACLE_SQL["jaccard_clusters"] = ("WITH RECURSIVE" + _JACCARD_CTES + f"""
+  , nodes AS (
+    SELECT CAST(doc_id AS BIGINT) AS file_id
+    FROM documents WHERE length(text) > 0
+  ), sym AS (
+    SELECT a AS s, b AS d FROM jedges
+    UNION ALL
+    SELECT b AS s, a AS d FROM jedges
+  ), reach(node, label) AS (
+    SELECT file_id, file_id FROM nodes
+    UNION
+    SELECT s.d, r.label FROM reach r JOIN sym s ON s.s = r.node
+  )
+  SELECT node AS file_id, CAST(min(label) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY 1
+""")
 
 
 def _text_oracles() -> dict[str, str]:

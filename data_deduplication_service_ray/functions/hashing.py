@@ -84,6 +84,33 @@ def kgram_hashes(data: bytes, k: int) -> np.ndarray:
     return splitmix64(acc)
 
 
+def char_kgram_hashes(text: str, k: int) -> np.ndarray:
+    """All overlapping CHARACTER k-gram 64-bit hashes of ``text``.
+
+    Character (code-point) semantics, not bytes: the utf-32-LE encoding
+    is exactly one uint32 word per code point, so this Horner walk hashes
+    the same grams ANSI SQL's ``substring(text, i, k)`` slices — the
+    parity requirement of the ``jaccard_edges``/``jaccard_clusters``
+    oracles (``kgram_hashes`` above is byte-based and diverges from SQL
+    on non-ASCII content). Same partial-tail rule as the byte variant:
+    fewer than ``k`` chars yields one hash of the whole text; empty
+    yields empty. Equal grams always hash equal; distinct grams collide
+    with ~2^-64 per pair (callers that need exactness re-verify on the
+    gram strings — see stages/jaccard.py's margin rationale)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = cp.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    m = max(n - k + 1, 1)
+    kk = min(k, n)
+    acc = np.zeros(m, dtype=np.uint64)
+    c64 = cp.astype(np.uint64)
+    for j in range(kk):
+        np.multiply(acc, _KGRAM_MULT[j % 64], out=acc)
+        np.add(acc, c64[j:j + m], out=acc)
+    return splitmix64(acc)
+
+
 #: token pattern for token-mode shingling: identifiers/numbers plus
 #: single punctuation marks — whitespace (indentation, line breaks) never
 #: reaches a shingle, the property char k-grams lack on source code.

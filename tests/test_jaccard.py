@@ -1,0 +1,161 @@
+"""Tests for the exact char-n-gram Jaccard edge/cluster stage
+(stages/jaccard.py) — the SQL-oracled twin of the LSH pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from data_deduplication_service_ray.functions.hashing import (
+    char_kgram_hashes)
+from data_deduplication_service_ray.stages import jaccard as jc
+
+
+def _docs_ds(texts: list[str], ids=None) -> ray.data.Dataset:
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({
+        "file_id": pa.array(ids, pa.int64()),
+        "content": pa.array(texts, pa.string())}))
+
+
+def _naive_edges(texts, ids, k, tau):
+    """Blocked-exact oracle: per-doc char k-gram string sets, all pairs."""
+    sets = {i: {t[j:j + k] for j in range(max(len(t) - k + 1, 1))}
+            for i, t in zip(ids, texts) if t}
+    out = []
+    live = sorted(sets)
+    for x in range(len(live)):
+        for y in range(x + 1, len(live)):
+            a, b = live[x], live[y]
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= tau:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# char k-gram hashing: CHARACTER semantics, not bytes
+# ---------------------------------------------------------------------------
+
+def test_char_kgram_counts_and_equality():
+    t = "héllo wörld — ünïcode"        # multibyte utf-8
+    h = char_kgram_hashes(t, 8)
+    assert len(h) == len(t) - 8 + 1    # char positions, not byte positions
+    # equal char grams at different positions hash equal
+    t2 = "abcdefgh XX abcdefgh"
+    h2 = char_kgram_hashes(t2, 8)
+    assert h2[0] == h2[12]
+    # short text -> one partial-tail hash; empty -> empty
+    assert len(char_kgram_hashes("abc", 8)) == 1
+    assert len(char_kgram_hashes("", 8)) == 0
+    # distinct grams (prefix-shifted) hash distinct
+    assert len(np.unique(char_kgram_hashes("abcdefghi", 8))) == 2
+
+
+def test_char_vs_byte_hash_positions_differ_on_multibyte():
+    from data_deduplication_service_ray.functions.hashing import (
+        kgram_hashes)
+
+    t = "ö" * 4 + "abcd"               # 8 chars, 12 utf-8 bytes
+    assert len(char_kgram_hashes(t, 8)) == 1
+    assert len(kgram_hashes(t.encode("utf-8"), 8)) == 5
+
+
+# ---------------------------------------------------------------------------
+# exact edges vs the blocked-exact oracle
+# ---------------------------------------------------------------------------
+
+def _rand_text(rng, n: int) -> str:
+    return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rng = np.random.default_rng(7)
+    texts, ids = [], []
+    for i in range(40):
+        # unique filler docs (random 8-grams are pairwise disjoint)
+        texts.append(f"unique doc {i}: {_rand_text(rng, 200)}")
+        ids.append(100 + i)
+    # near-dup pairs: independent random bodies + a short tail edit
+    # (J = m/(m+t) well above 0.5; cross-pair J ~ 0)
+    for i in range(6):
+        body = _rand_text(rng, 400)
+        texts.append(body)
+        ids.append(500 + 2 * i)
+        texts.append(body + f" tail comment {i}")
+        ids.append(500 + 2 * i + 1)
+    # chain a~b~c with the DIRECT a~c edge below threshold: tails sized
+    # 0.75*m each, so J(a,b)~0.57, J(b,c)~0.69, J(a,c)~0.39 — the
+    # cluster must still merge all three (transitivity through b)
+    m = _rand_text(rng, 400)
+    t1 = _rand_text(rng, 300)
+    t2 = _rand_text(rng, 300)
+    texts += [m, m + t1, m + t1 + t2]
+    ids += [900, 901, 902]
+    texts.append("")                   # empty doc must be excluded
+    ids.append(999)
+    return texts, ids
+
+
+def test_exact_jaccard_edges_match_naive(planted):
+    texts, ids = planted
+    want = _naive_edges(texts, ids, k=8, tau=0.5)
+    got = jc.exact_jaccard_edges(_docs_ds(texts, ids),
+                                 k=8, tau=0.5).take_all()
+    got_t = sorted((r["a"], r["b"], r["jaccard"]) for r in got)
+    assert [(a, b) for a, b, _ in got_t] == [(a, b) for a, b, _ in want]
+    for (_, _, jg), (_, _, jw) in zip(got_t, want):
+        assert jg == jw                # identical double arithmetic
+    assert len(want) >= 6              # fixture really has planted dups
+
+
+def test_exact_jaccard_edges_forced_fallbacks(planted, monkeypatch):
+    """Zeroing the broadcast gates must route through the join fallbacks
+    (count join + content join) and produce the identical edge set."""
+    texts, ids = planted
+    want = _naive_edges(texts, ids, k=8, tau=0.5)
+    monkeypatch.setattr(jc, "BROADCAST_COUNT_LIMIT", 0)
+    monkeypatch.setattr(jc, "BROADCAST_VERIFY_LIMIT", 0)
+    got = jc.exact_jaccard_edges(_docs_ds(texts, ids),
+                                 k=8, tau=0.5).take_all()
+    got_t = sorted((r["a"], r["b"], r["jaccard"]) for r in got)
+    assert got_t == want
+
+
+def test_exact_jaccard_clusters_transitive(planted):
+    texts, ids = planted
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in jc.exact_jaccard_clusters(
+                  _docs_ds(texts, ids), k=8, tau=0.5).take_all()}
+    # empty doc excluded; all non-empty docs labeled
+    assert 999 not in labels
+    assert len(labels) == len(ids) - 1
+    # the direct 900-902 edge is below threshold by construction, yet
+    # all three merge through 901 (connected-components transitivity)
+    edges = {(r["a"], r["b"])
+             for r in jc.exact_jaccard_edges(
+                 _docs_ds(texts, ids), k=8, tau=0.5).take_all()}
+    assert (900, 901) in edges and (901, 902) in edges
+    assert (900, 902) not in edges
+    assert labels[900] == labels[901] == labels[902] == 900
+    # planted pairs cluster to their min member
+    for i in range(6):
+        assert labels[500 + 2 * i] == labels[500 + 2 * i + 1] == 500 + 2 * i
+    # unique docs are singletons
+    for i in range(40):
+        assert labels[100 + i] == 100 + i
+
+
+def test_no_edges_returns_empty_and_singletons():
+    texts = ["alpha beta gamma delta", "zzz yyy xxx www", ""]
+    ds = _docs_ds(texts, [1, 2, 3])
+    edges = jc.exact_jaccard_edges(ds, k=8, tau=0.5).take_all()
+    assert edges == []
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in jc.exact_jaccard_clusters(ds, k=8,
+                                                 tau=0.5).take_all()}
+    assert labels == {1: 1, 2: 2}
