@@ -512,50 +512,71 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Multimodal plumbing demo: document bytes as opaque media payloads
-    -> actor-pool (stubbed deterministic) decode -> real channel stats."""
+    """Multimodal decode + features over REAL image payloads: each
+    document's bytes are packed into a genuine 24-bit BMP (deterministic
+    pixel tiling), decoded by the stdlib BMP parser (decoder='auto':
+    PIL when importable, the struct-based parser here — a real decode
+    either way, flagged by ``decoded_real``), then real channel stats."""
+    import numpy as np
+
     from data_deduplication_service_ray.stages import multimodal as mm
 
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    H = W = 16
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch["content"].to_pylist()]
+        payloads = []
+        for t in batch["content"].to_pylist():
+            raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            px = np.resize(raw if len(raw) else np.zeros(1, np.uint8),
+                           H * W * 3).reshape(H, W, 3)
+            payloads.append(mm.encode_bmp24(px))
         n = batch.num_rows
         return pa.table({
             "media_id": batch["file_id"],
             "media_type": pa.array(["image"] * n, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "height": pa.array([16] * n, pa.int64()),
-            "width": pa.array([16] * n, pa.int64()),
+            "height": pa.array([H] * n, pa.int64()),
+            "width": pa.array([W] * n, pa.int64()),
         })
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    return mm.image_features(mm.decode_images(media))
+    return mm.image_features(mm.decode_images(media, decoder="auto"))
 
 
 def q_audio_features(sf_dir: str):
-    """Audio analog of ``image_features``: document bytes as opaque audio
-    payloads -> actor-pool (stubbed deterministic) decode -> real PCM
-    features (duration/rms/zcr/spectral centroid). Rows-only check; the
-    decode determinism + real-decoder guard are pytest-gated
+    """Audio analog of ``image_features``: each document's bytes become
+    a genuine PCM WAV clip (deterministic int16 mapping), decoded by the
+    stdlib ``wave`` parser (decoder='auto': soundfile when importable —
+    identical float32 PCM either way), then real features
+    (duration/rms/zcr/spectral centroid). Rows-only check; decode
+    realism + determinism are pytest-gated
     (tests/test_checkpoint_multimodal.py)."""
+    import numpy as np
+
     from data_deduplication_service_ray.stages import multimodal as mm
 
     docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    SR, N = 16_000, 2_048
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch["content"].to_pylist()]
+        payloads = []
+        for t in batch["content"].to_pylist():
+            raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            pcm = ((np.resize(raw if len(raw) else np.zeros(1, np.uint8),
+                              N).astype(np.int16) - 128) << 8)
+            payloads.append(mm.encode_wav16(pcm, SR))
         n = batch.num_rows
         return pa.table({
             "media_id": batch["file_id"],
             "media_type": pa.array(["audio"] * n, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "sample_rate": pa.array([16_000] * n, pa.int64()),
-            "n_samples": pa.array([2_048] * n, pa.int64()),
+            "sample_rate": pa.array([SR] * n, pa.int64()),
+            "n_samples": pa.array([N] * n, pa.int64()),
         })
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
-    return mm.audio_features(mm.decode_audio(media))
+    return mm.audio_features(mm.decode_audio(media, decoder="auto"))
 
 
 def q_windowed_events(sf_dir: str):
