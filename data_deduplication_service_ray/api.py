@@ -290,6 +290,26 @@ def q_simhash_pairs(sf_dir: str):
     return nd.simhash_pairs(p.signatures(), CFG)
 
 
+def q_simhash_pairs_sql(sf_dir: str):
+    """SimHash pair machinery under a value-level oracle: the SAME
+    banded ``simhash_pairs`` stage (bucketing, pigeonhole candidate
+    rule, popcount verify) run over SQL-parity fingerprints — SimHash
+    majority votes over the code-point polynomial hash family that
+    ``fingerprints_sql`` oracles, per-bit affine mixers kept < 2^62 so
+    DuckDB BIGINT computes identical bits. The PRODUCTION ``simhash64``
+    kernel (splitmix64) is NOT SQL-oracled: splitmix's mod-2^64
+    multiplies overflow BIGINT and bit-exact HUGEINT limb emulation per
+    shingle is not practical — see the note next to ORACLE_SQL; its
+    structure (majority vote, banding, popcount) is exactly what this
+    query adjudicates, and the kernel itself stays pytest-gated
+    (determinism + pigeonhole recall)."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    sigs = nd.simhash_parity_signatures(docs, k=CFG.shingle_k)
+    return nd.simhash_pairs(sigs, CFG)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact character-8-gram Jaccard for consecutive doc-id pairs.
 
@@ -367,19 +387,27 @@ def q_containment(sf_dir: str):
                                    num_partitions=join_parts(CFG))
 
 
-def q_containment_sql(sf_dir: str):
-    """SQL-oracled containment baseline: the generalized-suffix-array
-    kernel over the WHOLE corpus as one group, uncapped — exactly the
-    pairs DuckDB's ``position(a.text IN b.text) > 0`` produces. This
-    gives the SA kernel itself a value-level oracle (the cluster-scoped
-    ``containment`` query remains the scale path; a corpus-wide single
-    group is only tractable at oracle scale)."""
+#: The whole-corpus-as-one-group oracle queries build ONE suffix array
+#: over the entire corpus text — a single-task memory bomb past oracle
+#: scale. Guarded so nobody lifts the pattern into a pipeline: the
+#: scale path is the cluster-scoped ``containment`` (bounded groups).
+ORACLE_GROUP_ROW_LIMIT = 100_000
+
+
+def _whole_corpus_containment(sf_dir: str, max_occurrences: int):
     import numpy as np
 
     from data_deduplication_service_ray.stages.containment import (
         containment_within_groups)
 
-    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    docs = read_documents(sf_dir, columns=["doc_id", "text"]).materialize()
+    n = docs.count()
+    if n > ORACLE_GROUP_ROW_LIMIT:
+        raise ValueError(
+            f"whole-corpus containment oracle is capped at "
+            f"{ORACLE_GROUP_ROW_LIMIT} rows (got {n}): one corpus-wide "
+            f"suffix-array group does not scale — use the cluster-"
+            f"scoped 'containment' query (bounded groups) instead")
 
     def one_group(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -387,13 +415,33 @@ def q_containment_sql(sf_dir: str):
 
     grouped = docs.map_batches(one_group, batch_format="pyarrow")
     res = containment_within_groups(grouped, group_col="g",
-                                    max_occurrences=1 << 30)
+                                    max_occurrences=max_occurrences)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({"inner_id": batch["inner"],
                          "outer_id": batch["outer"]})
 
     return res.map_batches(finish, batch_format="pyarrow")
+
+
+def q_containment_sql(sf_dir: str):
+    """SQL-oracled containment baseline: the generalized-suffix-array
+    kernel over the WHOLE corpus as one group, uncapped — exactly the
+    pairs DuckDB's ``position(a.text IN b.text) > 0`` produces. This
+    gives the SA kernel itself a value-level oracle (the cluster-scoped
+    ``containment`` query remains the scale path; a corpus-wide single
+    group is row-count-guarded — only tractable at oracle scale)."""
+    return _whole_corpus_containment(sf_dir, max_occurrences=1 << 30)
+
+
+def q_containment_capped(sf_dir: str):
+    """The PRODUCTION-capped containment path under the oracle: same
+    whole-corpus group, ``max_occurrences=1`` — per inner doc only the
+    smallest outer id survives (functions/suffix.py's deterministic cap
+    rule), reproduced in SQL by ``row_number() OVER (PARTITION BY inner
+    ORDER BY outer)``. At sf0.01 one inner has two outers, so the cap
+    demonstrably bites (24 rows vs containment_sql's 25)."""
+    return _whole_corpus_containment(sf_dir, max_occurrences=1)
 
 
 # --------------------------------------------------------------------------
@@ -666,11 +714,13 @@ QUERIES = {
     "lsh_clusters": q_lsh_clusters,
     "neardup_pairs": q_neardup_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_pairs_sql": q_simhash_pairs_sql,
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_edges": q_jaccard_edges,
     "jaccard_clusters": q_jaccard_clusters,
     "containment": q_containment,
     "containment_sql": q_containment_sql,
+    "containment_capped": q_containment_capped,
     "text_stats": q_text_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -860,6 +910,18 @@ ORACLE_SQL = {
         FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
         WHERE length(a.text) > 0 AND position(a.text IN b.text) > 0
     """,
+    # the capped variant: per inner doc keep the max_occurrences(=1)
+    # smallest outer ids — the same deterministic cap rule as
+    # functions/suffix.containment_pairs
+    "containment_capped": """
+        SELECT inner_id, outer_id FROM (
+          SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                 row_number() OVER (PARTITION BY a.doc_id
+                                    ORDER BY b.doc_id) AS rn
+          FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+          WHERE length(a.text) > 0 AND position(a.text IN b.text) > 0
+        ) WHERE rn <= 1
+    """,
     "dataset_sizes": _SEGS_CTE + """
         , store AS (
           SELECT min(segment) AS segment FROM segs
@@ -967,6 +1029,95 @@ ORACLE_SQL["jaccard_clusters"] = ("WITH RECURSIVE" + _JACCARD_CTES + f"""
   SELECT node AS file_id, CAST(min(label) AS BIGINT) AS cluster_id
   FROM reach GROUP BY 1
 """)
+
+
+def _simhash_parity_sql() -> str:
+    """SQL twin of ``neardup.simhash_parity_signatures`` +
+    ``simhash_pairs``: distinct polynomial shingle hashes (the
+    fingerprints_sql hash family), 64 per-bit affine majority votes,
+    16-bit bands, pigeonhole shared-band candidate rule, popcount
+    verify. Brute all-pairs on the oracle side is fine at sf0.01; the
+    Ray side runs the real banded machinery.
+
+    NOTE on the production kernel: ``functions/minhash.simhash64``
+    mixes shingle hashes with splitmix64, whose mod-2^64 multiplies
+    ((2^64-1)^2 > HUGEINT max) cannot be reproduced bit-exactly in
+    DuckDB without per-shingle 32-bit limb emulation — genuinely
+    impractical to keep identical on both sides. Its majority-vote /
+    banding / popcount STRUCTURE is what this oracle pins; the
+    splitmix kernel is gated by pytest determinism + pigeonhole-recall
+    tests (tests/test_neardup.py)."""
+    from data_deduplication_service_ray.stages.neardup import (
+        _PARITY_AB, _PARITY_P)
+
+    a_mix, b_mix = _PARITY_AB
+    sums = ",\n          ".join(
+        f"SUM(((h * {int(a_mix[b])} + {int(b_mix[b])}) % {_PARITY_P})"
+        f" % 2) AS s{b}"
+        for b in range(64))
+    band_exprs = []
+    for j in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN 2 * s{16 * j + t} >= n THEN {1 << t} "
+            f"ELSE 0 END)" for t in range(16))
+        band_exprs.append(f"({terms}) AS b{j}")
+    bands = ",\n          ".join(band_exprs)
+    max_d = CFG.simhash_max_hamming
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS file_id, text, length(text) AS n
+          FROM documents WHERE length(text) > 0
+        ),
+        long_pos AS (
+          SELECT file_id, text, unnest(range(1, n - {_FP_K} + 2)) AS i
+          FROM d WHERE n >= {_FP_K}
+        ),
+        long_h AS (
+          SELECT file_id, ({_FP_TERMS}) % {_FP_P} AS h FROM long_pos
+        ),
+        short_pos AS (
+          SELECT file_id, text, n, unnest(range(1, n + 1)) AS j
+          FROM d WHERE n < {_FP_K}
+        ),
+        short_h AS (
+          SELECT file_id,
+                 SUM(CAST(ord(substr(text, j, 1)) AS BIGINT)
+                     * CAST(power({_FP_B}, n - j) AS BIGINT))
+                   % {_FP_P} AS h
+          FROM short_pos GROUP BY file_id, n
+        ),
+        h AS (
+          SELECT DISTINCT file_id, h FROM (
+            SELECT file_id, h FROM long_h
+            UNION ALL SELECT file_id, h FROM short_h)
+        ),
+        cnt AS (SELECT file_id, count(*) AS n FROM h GROUP BY 1),
+        bits AS (
+          SELECT file_id,
+          {sums}
+          FROM h GROUP BY 1
+        ),
+        bands AS (
+          SELECT bits.file_id,
+          {bands}
+          FROM bits JOIN cnt ON cnt.file_id = bits.file_id
+        ),
+        p AS (
+          SELECT x.file_id AS a, y.file_id AS b,
+                 bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                 + bit_count(xor(x.b2, y.b2))
+                 + bit_count(xor(x.b3, y.b3)) AS hamming,
+                 (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2
+                  OR x.b3 = y.b3) AS shared
+          FROM bands x JOIN bands y ON y.file_id > x.file_id
+        )
+        SELECT a, b, CAST(hamming AS BIGINT) AS hamming,
+               FALSE AS capped
+        FROM p WHERE shared AND hamming <= {max_d}
+    """
+
+
+ORACLE_SQL["simhash_pairs_sql"] = _simhash_parity_sql()
 
 
 def _text_oracles() -> dict[str, str]:

@@ -83,14 +83,22 @@ def containment_pairs(ids: list[int], texts: list[str],
     cannot cross document boundaries because content never contains the
     separator (asserted; such rows fall back to pairwise scanning).
 
-    ``max_occurrences`` caps per-document occurrence expansion (a short
-    hot string inside thousands of group members would otherwise emit
-    O(k) pairs per member — the same bounded-blowup discipline as the
-    LSH bucket cap).
+    ``max_occurrences`` caps, PER INNER DOCUMENT, the number of emitted
+    pairs to the ``max_occurrences`` SMALLEST outer ids — the same
+    bounded-blowup discipline as the LSH bucket cap (a short hot string
+    inside thousands of group members would otherwise emit O(k) pairs
+    per member), but as a deterministic, layout-independent rule: the
+    previous truncation in suffix-array order depended on the group's
+    concatenation order (run-order sensitive) and was not expressible
+    in SQL; smallest-outer-ids is reproduced exactly by the oracle's
+    ``row_number() OVER (PARTITION BY inner ORDER BY outer)`` (api.py
+    ``containment_capped``). The SA occurrence scan itself stays
+    uncapped — it is O(occurrences) integer work bounded by the group
+    text size the SA already paid for; only pair EMISSION is capped.
     """
     clean_idx = [i for i, t in enumerate(texts) if _SEP not in t]
     dirty_idx = [i for i, t in enumerate(texts) if _SEP in t]
-    out: set[tuple[int, int]] = set()
+    outers_of: dict[int, set[int]] = {}
 
     if len(clean_idx) >= 2:
         ctexts = [texts[i] for i in clean_idx]
@@ -104,12 +112,11 @@ def containment_pairs(ids: list[int], texts: list[str],
             if not text:
                 continue
             lo, hi = _sa_range(concat, sa, text)
-            if hi - lo > max_occurrences:
-                hi = lo + max_occurrences
             owners = np.searchsorted(starts, sa[lo:hi], side="right") - 1
+            tgt = outers_of.setdefault(cids[j], set())
             for o in set(int(x) for x in owners):
                 if cids[o] != cids[j]:
-                    out.add((cids[j], cids[o]))
+                    tgt.add(cids[o])
 
     # rare fallback: rows whose content contains the separator char
     for i in dirty_idx:
@@ -117,7 +124,12 @@ def containment_pairs(ids: list[int], texts: list[str],
             if i == j:
                 continue
             if texts[i] and texts[i] in texts[j]:
-                out.add((ids[i], ids[j]))
+                outers_of.setdefault(ids[i], set()).add(ids[j])
             if texts[j] and texts[j] in texts[i]:
-                out.add((ids[j], ids[i]))
+                outers_of.setdefault(ids[j], set()).add(ids[i])
+
+    out: list[tuple[int, int]] = []
+    for iid in outers_of:
+        for oid in sorted(outers_of[iid])[:max_occurrences]:
+            out.append((iid, oid))
     return sorted(out)

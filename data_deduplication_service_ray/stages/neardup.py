@@ -2370,3 +2370,57 @@ def simhash_pairs(sigs: ray.data.Dataset, cfg: PipelineConfig,
 
     return both.map_batches(verify_joined, batch_format="pyarrow",
                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# SQL-parity SimHash (the fingerprints_sql precedent applied to SimHash)
+# ---------------------------------------------------------------------------
+
+#: Per-bit affine mixers for the SQL-parity SimHash: bit b of a shingle
+#: hash h (< 2^31-1) is ((h*A_b + B_b) % P) % 2 — every term < 2^62, so
+#: DuckDB BIGINT arithmetic computes the identical bit. Fixed seed,
+#: independent of PipelineConfig (determinism across runs/CPU counts).
+_PARITY_P = 2147483647
+_PARITY_AB = np.random.default_rng(0x51A4).integers(
+    1, _PARITY_P, size=(2, 64), dtype=np.int64)
+
+
+def simhash_parity_signatures(docs: ray.data.Dataset,
+                              k: int = 8) -> ray.data.Dataset:
+    """(file_id, content) -> (file_id, simhash) where the 64-bit
+    fingerprint is a SimHash (per-bit majority vote over the doc's
+    DISTINCT shingle hashes, Charikar 2002) built from SQL-computable
+    pieces: the code-point k-gram polynomial hash mod 2^31-1 that
+    ``fingerprints_sql`` already oracles, mixed per bit by the affine
+    family above. The production ``simhash64`` (splitmix64 over 64-bit
+    shingle hashes) keeps the SAME majority-vote structure but needs
+    mod-2^64 multiplies DuckDB BIGINT cannot express — this parity
+    variant gives the banding/pigeonhole/popcount PAIR MACHINERY
+    (``simhash_pairs``) a value-level oracle; the splitmix kernel
+    itself stays pytest-gated (see api.py next to ORACLE_SQL)."""
+    from data_deduplication_service_ray.stages.text import (
+        _poly_kgram_codes)
+
+    a_mix = _PARITY_AB[0].astype(np.uint64)
+    b_mix = _PARITY_AB[1].astype(np.uint64)
+    p = np.uint64(_PARITY_P)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fids, sims = [], []
+        for fid, text in zip(batch["file_id"].to_pylist(),
+                             batch["content"].to_pylist()):
+            if not text:
+                continue
+            hs = np.unique(_poly_kgram_codes(text, k))
+            bits = ((hs[:, None] * a_mix[None, :] + b_mix[None, :])
+                    % p) & np.uint64(1)
+            maj = (2 * bits.sum(axis=0, dtype=np.int64)
+                   >= len(hs)).astype(np.uint64)
+            fids.append(fid)
+            sims.append(int((maj * weights).sum(dtype=np.uint64)))
+        return pa.table({
+            "file_id": pa.array(fids, pa.int64()),
+            "simhash": _as_i64(np.array(sims, dtype=np.uint64))})
+
+    return docs.map_batches(fp, batch_format="pyarrow")

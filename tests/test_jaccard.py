@@ -150,6 +150,26 @@ def test_exact_jaccard_clusters_transitive(planted):
         assert labels[100 + i] == 100 + i
 
 
+def test_simhash_parity_signatures_deterministic():
+    """Parity fingerprints: empty docs excluded, same input -> same
+    64-bit fingerprints (value parity itself is oracle-gated by the
+    simhash_pairs_sql row in CORRECTNESS)."""
+    from data_deduplication_service_ray.stages.neardup import (
+        simhash_parity_signatures)
+
+    texts = ["the quick brown fox jumps", "", "pack my box with jugs",
+             "the quick brown fox jumps"]
+    ds = _docs_ds(texts, [1, 2, 3, 4])
+    a = {r["file_id"]: r["simhash"]
+         for r in simhash_parity_signatures(ds).take_all()}
+    b = {r["file_id"]: r["simhash"]
+         for r in simhash_parity_signatures(ds).take_all()}
+    assert a == b
+    assert 2 not in a                      # empty excluded
+    assert a[1] == a[4]                    # identical docs, identical fp
+    assert a[1] != a[3]
+
+
 def test_no_edges_returns_empty_and_singletons():
     texts = ["alpha beta gamma delta", "zzz yyy xxx www", ""]
     ds = _docs_ds(texts, [1, 2, 3])

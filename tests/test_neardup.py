@@ -104,6 +104,29 @@ def test_containment_pairs_kernel():
     assert containment_pairs(ids, texts) == [(1, 2)]
 
 
+def test_containment_cap_keeps_smallest_outer_ids():
+    """max_occurrences caps per-inner emission to the SMALLEST outer
+    ids — deterministic and layout-independent (the rule the
+    containment_capped SQL oracle reproduces with row_number)."""
+    ids = [9, 50, 20, 40, 30]
+    texts = ["hot", "xx hot xx", "hot hot", "--hot--", "hot!"]
+    full = containment_pairs(ids, texts, max_occurrences=256)
+    assert full == [(9, 20), (9, 30), (9, 40), (9, 50)]
+    capped = containment_pairs(ids, texts, max_occurrences=2)
+    assert capped == [(9, 20), (9, 30)]
+    # cap is per INNER: another inner keeps its own smallest outers
+    ids2 = [9, 50, 20, 7]
+    texts2 = ["hot", "xx hot xx", "hot hot", "ho"]
+    capped2 = containment_pairs(ids2, texts2, max_occurrences=1)
+    assert capped2 == [(7, 9), (9, 20)]
+    # order of the input rows must not change the result
+    perm = [2, 0, 3, 1]
+    capped2p = containment_pairs([ids2[i] for i in perm],
+                                 [texts2[i] for i in perm],
+                                 max_occurrences=1)
+    assert capped2p == capped2
+
+
 # ---------------------------------------------------------------------------
 # end-to-end over the planted corpus
 # ---------------------------------------------------------------------------
