@@ -619,3 +619,179 @@ class NearDupPipeline:
         return (self.verified_pairs()
                 .filter(expr="contained == True")
                 .select_columns(["a", "b", "jaccard"]))
+
+    # -- incremental delete (reference D1-D3 at the north-star layer) ----
+
+    def delete_files_incremental(self, delete_ids
+                                 ) -> dict[str, ray.data.Dataset]:
+        """Propagate a deleted id set through signatures / verified
+        pairs / clusters WITHOUT recomputing untouched work (the
+        reference's delete path D1-D3, lib/dbManager.cpp:92-161, lifted
+        to the near-dup layer; ``without_files`` remains the
+        recompute-from-lineage alternative).
+
+        Semantics (pytest-gated parity vs full recompute):
+        - a deleted REPRESENTATIVE whose exact-dup group survives is
+          SUCCEEDED by the group's new min member — identical content,
+          so its signature row and verified pairs are the recomputed
+          ones with only the id rewritten (minhash/jaccard are pure
+          functions of content);
+        - signatures/pairs: anti-join of dead ids + successor remap
+          (pairs renormalized a < b; all score columns are symmetric);
+        - clusters: ONLY clusters containing a deleted id relabel — the
+          affected subgraph's surviving (remapped) edges re-run
+          ``cc_min_labels``; every other row of the label table passes
+          through untouched. All driver pulls are bounded by the delete
+          batch + affected-cluster population, never the corpus.
+
+        Exactness caveat (documented, mirrored by the parity test): a
+        CAPPED hot bucket's window edges depend on bucket membership,
+        so incremental == recompute only when no contributing bucket
+        was capped (the ``capped`` flag makes violations visible).
+        Returns {"signatures", "verified_pairs", "clusters"}.
+        """
+        import pyarrow.compute as pc
+
+        d_sorted = sorted({int(x) for x in delete_ids})
+        d_arr = pa.array(d_sorted, pa.int64())
+        d_np = np.array(d_sorted, dtype=np.int64)
+
+        def _pull(ds) -> pa.Table:
+            tabs = list(ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None))
+            return (pa.concat_tables(tabs) if tabs
+                    else ds.schema().empty_table())
+
+        def _in(col, value_set):
+            return pc.is_in(col, value_set=value_set)
+
+        # ---- successor map: deleted reps -> new min surviving member
+        doomed = _pull(self.file_groups().map_batches(
+            lambda t: t.filter(_in(t["file_id"], d_arr)),
+            batch_format="pyarrow"))
+        succ_from, succ_to = [], []
+        if doomed.num_rows:
+            sha_set = doomed["content_sha256"].combine_chunks()
+            members = _pull(self.sha_fid().map_batches(
+                lambda t: t.filter(_in(t["content_sha256"], sha_set)),
+                batch_format="pyarrow"))
+            by_sha: dict[str, list[int]] = {}
+            for sha, fid in zip(members["content_sha256"].to_pylist(),
+                                members["file_id"].to_pylist()):
+                by_sha.setdefault(sha, []).append(fid)
+            dset = set(d_sorted)
+            for sha, rep in zip(doomed["content_sha256"].to_pylist(),
+                                doomed["file_id"].to_pylist()):
+                surv = sorted(m for m in by_sha.get(sha, ())
+                              if m not in dset)
+                if surv:
+                    succ_from.append(rep)
+                    succ_to.append(surv[0])
+        sf_np = np.array(succ_from, dtype=np.int64)
+        st_np = np.array(succ_to, dtype=np.int64)
+        order = np.argsort(sf_np)
+        sf_np, st_np = sf_np[order], st_np[order]
+
+        def _remap(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """(mapped ids, alive mask): successors substituted, dead
+            ids (deleted without successor) flagged."""
+            mapped = ids.copy()
+            alive = np.ones(len(ids), dtype=bool)
+            if len(d_np):
+                pos = np.searchsorted(d_np, ids)
+                posc = np.minimum(pos, len(d_np) - 1)
+                deleted = d_np[posc] == ids
+                if len(sf_np):
+                    sp = np.minimum(np.searchsorted(sf_np, ids),
+                                    len(sf_np) - 1)
+                    has_succ = (sf_np[sp] == ids) & deleted
+                    mapped[has_succ] = st_np[sp[has_succ]]
+                    alive &= ~(deleted & ~has_succ)
+                else:
+                    alive &= ~deleted
+            return mapped, alive
+
+        # ---- signatures: drop dead, remap succeeded reps ------------
+        def sig_fix(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            mapped, alive = _remap(ids)
+            out = batch.set_column(
+                batch.schema.get_field_index("file_id"), "file_id",
+                pa.array(mapped))
+            return out.filter(pa.array(alive))
+
+        new_sigs = self.signatures().map_batches(
+            sig_fix, batch_format="pyarrow")
+
+        # ---- verified pairs: remap endpoints, renormalize a < b -----
+        def pair_fix(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            ma, ka = _remap(a)
+            mb, kb = _remap(b)
+            keep = ka & kb & (ma != mb)
+            lo = np.minimum(ma, mb)[keep]
+            hi = np.maximum(ma, mb)[keep]
+            out = batch.filter(pa.array(keep))
+            ia = out.schema.get_field_index("a")
+            out = out.set_column(ia, "a", pa.array(lo))
+            ib = out.schema.get_field_index("b")
+            return out.set_column(ib, "b", pa.array(hi))
+
+        new_pairs = self.verified_pairs().map_batches(
+            pair_fix, batch_format="pyarrow")
+
+        # ---- clusters: relabel ONLY clusters touching a deleted id --
+        labels = self.clusters().materialize()
+        hit = _pull(labels.map_batches(
+            lambda t: t.filter(_in(t["file_id"], d_arr)),
+            batch_format="pyarrow"))
+        aff_cids = pa.array(
+            sorted(set(hit["cluster_id"].to_pylist())), pa.int64())
+        aff_rows = _pull(labels.map_batches(
+            lambda t: t.filter(_in(t["cluster_id"], aff_cids)),
+            batch_format="pyarrow"))
+        aff_nodes = np.sort(np.asarray(
+            aff_rows["file_id"].to_numpy(zero_copy_only=False),
+            dtype=np.int64))
+
+        def _edge_sel(ds) -> pa.Table:
+            node_arr = pa.array(aff_nodes)
+            return _pull(ds.map_batches(
+                lambda t: t.filter(pc.or_(_in(t["a"], node_arr),
+                                          _in(t["b"], node_arr))),
+                batch_format="pyarrow"))
+
+        near_e = _edge_sel(self.near_edges().select_columns(["a", "b"]))
+        exact_e = _edge_sel(self.exact_edges())
+        etab = pa.concat_tables([near_e, exact_e])
+        ea = np.asarray(etab["a"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        eb = np.asarray(etab["b"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        ma, ka = _remap(ea)
+        mb, kb = _remap(eb)
+        keep = ka & kb & (ma != mb)
+        relabeled = cl.cc_min_labels(ma[keep], mb[keep])
+        labeled_ids = set(relabeled["file_id"].to_pylist())
+        # surviving affected nodes in POST-remap id space: a succeeded
+        # rep contributes its successor (already a member), dead ids
+        # drop out
+        node_map, node_alive = _remap(aff_nodes)
+        survivors = np.unique(node_map[node_alive])
+        singles = [int(x) for x in survivors
+                   if int(x) not in labeled_ids]
+        aff_out = pa.concat_tables([relabeled, pa.table({
+            "file_id": pa.array(singles, pa.int64()),
+            "cluster_id": pa.array(singles, pa.int64())})])
+        untouched = labels.map_batches(
+            lambda t: t.filter(pc.invert(_in(t["cluster_id"],
+                                             aff_cids))),
+            batch_format="pyarrow")
+        new_labels = untouched.union(ray.data.from_arrow(aff_out))
+
+        return {"signatures": new_sigs, "verified_pairs": new_pairs,
+                "clusters": new_labels}

@@ -676,3 +676,63 @@ def test_slice_content_block_task_filters_and_combines():
     empty = ray.get(nd._slice_content_block_task.remote(
         blk, np.empty(0, dtype=np.int64)))
     assert empty.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental delete (reference D1-D3 at the north-star layer)
+# ---------------------------------------------------------------------------
+
+def test_incremental_delete_matches_recompute(pipe, small_corpus_dir):
+    """delete_files_incremental == full recompute on the corpus minus
+    the deleted ids, for signatures, verified pairs and clusters. The
+    delete set deliberately contains (a) a representative with live
+    exact duplicates (successor takes over its signature/pairs), (b) a
+    near-dup cluster member, (c) a singleton."""
+    fg = [r for r in pipe.file_groups().take_all() if r["dup_count"] > 1]
+    assert fg, "fixture must contain exact-dup groups"
+    rep_with_dups = fg[0]["file_id"]
+
+    edges = pipe.near_edges().take_all()
+    assert edges, "fixture must contain near-dup edges"
+    near_member = next(e["b"] for e in edges
+                       if e["b"] != rep_with_dups
+                       and e["a"] != rep_with_dups)
+
+    labels_full = {r["file_id"]: r["cluster_id"]
+                   for r in pipe.clusters().take_all()}
+    from collections import Counter
+
+    csize = Counter(labels_full.values())
+    singleton = next(f for f, c in labels_full.items()
+                     if csize[c] == 1)
+
+    # no capped pairs in the fixture — the documented exactness domain
+    assert all(not r.get("capped", False)
+               for r in pipe.verified_pairs().take_all())
+
+    dels = {rep_with_dups, near_member, singleton}
+    inc = pipe.delete_files_incremental(dels)
+    full = pipe.without_files(dels)
+
+    lab_inc = {r["file_id"]: r["cluster_id"]
+               for r in inc["clusters"].take_all()}
+    lab_full = {r["file_id"]: r["cluster_id"]
+                for r in full.clusters().take_all()}
+    assert lab_inc == lab_full
+
+    def sig_key(rows):
+        return {r["file_id"]: (tuple(r["minhash"]), r["simhash"])
+                for r in rows}
+
+    si = sig_key(inc["signatures"].take_all())
+    sf = sig_key(full.signatures().take_all())
+    assert set(si) == set(sf)
+    assert si == sf
+
+    def pair_key(rows):
+        return {(r["a"], r["b"]): (round(r["jaccard"], 12), r["hamming"])
+                for r in rows}
+
+    pi = pair_key(inc["verified_pairs"].take_all())
+    pf = pair_key(full.verified_pairs().take_all())
+    assert pi == pf
