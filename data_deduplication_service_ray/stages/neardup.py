@@ -791,6 +791,28 @@ def _merge_estimated(tables: list[pa.Table]) -> pa.Table:
         "hamming": tbl["hamming"].take(first)})
 
 
+@ray.remote
+def _merge_estimated_task(*tabs: pa.Table) -> pa.Table:
+    return _merge_estimated(list(tabs))
+
+
+def _merge_estimated_tree(refs: list, fan: int = 8) -> pa.Table:
+    """Fold per-slice estimate survivors in a fan-in task tree (the
+    bitmap-merge pattern): _merge_estimated is associative — n_bands
+    partials SUM, capped flags OR, est/hamming are pure functions of
+    the pair — so any grouping yields the same table. The driver pulls
+    only the deduped root (~distinct-survivor-sized); the former
+    driver-side fold was ~0.5 s of serial lexsort at 1.28M files that
+    the high-CPU leg paid in full (same Amdahl shape as the bitmap OR
+    merge)."""
+    import ray as _ray
+
+    while len(refs) > fan:
+        refs = [_merge_estimated_task.remote(*refs[i:i + fan])
+                for i in range(0, len(refs), fan)]
+    return _ray.get(_merge_estimated_task.remote(*refs))
+
+
 #: Above this many pairable band rows the driver never touches the
 #: table at all: expansion runs as band_hash-RANGE tasks over the
 #: sorted pairable blocks (``_expand_range_task`` — one binary search +
@@ -1054,7 +1076,10 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
     # signatures with NO id lookup anywhere — the per-occurrence binary
     # search was 2.3 s of a 2.5 s kernel at 2.7M occurrences/task.
     src_refs = sigs.to_arrow_refs()
-    est_ref, offsets = _sig4_indexed(src_refs, cfg)
+    counts = _block_row_counts(sigs)
+    if counts is not None and len(counts) != len(src_refs):
+        counts = None       # metadata/refs disagree: count in-task
+    est_ref, offsets = _sig4_indexed(src_refs, cfg, counts)
     # pure raw-task path over the signature blocks: bands are expanded
     # in-task (never materialized), singleton-filtered, sorted — the
     # candidates stage pays ZERO Ray Data executor spin-ups.
@@ -1076,8 +1101,7 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
         refs = [_expand_range_task.remote(pair_refs, lo, hi, cap,
                                           window, est_ref, cfg)
                 for lo, hi in _range_bounds(_expand_parts())]
-        merged = _merge_estimated(_ray.get(refs))
-        return _est_blocks(merged, cfg), True
+        return _est_blocks(_merge_estimated_tree(refs), cfg), True
     tbl = pa.concat_tables(_ray.get(pair_refs)).drop_columns(
         ["fidx"]).combine_chunks()
     slices, _total = _driver_slices(tbl, cap, window, cfg)
@@ -1101,8 +1125,7 @@ def candidate_pairs_estimated(sigs: ray.data.Dataset,
     refs = [_expand_slice_task.remote(bh, fi, ps, cap, window,
                                       est_ref, cfg)
             for bh, fi, ps in slices]
-    merged = _merge_estimated(_ray.get(refs))
-    return _est_blocks(merged, cfg), True
+    return _est_blocks(_merge_estimated_tree(refs), cfg), True
 
 
 def _distributed_candidates(pairable: ray.data.Dataset,
@@ -1414,7 +1437,8 @@ def _pack_nibbles(m8: np.ndarray) -> np.ndarray:
 
 
 def _nibble_eq_counts(wa: np.ndarray, wb: np.ndarray,
-                      num_perms: int) -> np.ndarray:
+                      num_perms: int,
+                      scratch: tuple | None = None) -> np.ndarray:
     """Equal-4-bit-slot count per row between two (c, W) uint64
     packed-signature slabs: XOR, collapse each nibble's 4 bits into its
     low bit, invert to an equal-flag mask, then sum the 16 flags per
@@ -1423,17 +1447,41 @@ def _nibble_eq_counts(wa: np.ndarray, wb: np.ndarray,
     <= 15; the sum-16 case is exactly w == 0, patched after). Padding
     nibbles (num_perms % 16 != 0) are forced unequal by OR-ing their
     positions into the XOR, which also keeps w == 0 unreachable for the
-    tail word."""
-    w = wa ^ wb
+    tail word.
+
+    ``scratch`` = (w, t, z) preallocated (>=c, W) uint64/uint64/bool
+    buffers: every intermediate here is chunk-sized (~4 MB at the 64Ki
+    chunk), which crosses glibc's mmap threshold — per-call allocation
+    page-zeroes serially ACROSS concurrent workers (the documented
+    mmap trap; the est gather loop runs this tens of times per task x
+    128 tasks). With scratch the kernel allocates only the (c,) output.
+    Identical math/output either way (parity-tested)."""
+    c = len(wa)
+    if scratch is None:
+        w = wa ^ wb
+        t = np.empty_like(w)
+        z = np.empty(w.shape, dtype=bool)
+    else:
+        w, t, z = (buf[:c] for buf in scratch)
+        np.bitwise_xor(wa, wb, out=w)
     rem = num_perms % 16
     if rem:
         w[:, -1] |= np.uint64(((1 << (4 * (16 - rem))) - 1) << (4 * rem))
-    t = w | (w >> np.uint64(1))
-    t |= t >> np.uint64(2)
-    e = (~t) & _NIBLO
-    cnt = ((e * _NIBLO) >> np.uint64(60)).astype(np.int64)
-    cnt[w == 0] = 16
-    return cnt.sum(axis=1, dtype=np.int64)
+    np.equal(w, np.uint64(0), out=z)        # sum-16 words, before w dies
+    np.right_shift(w, np.uint64(1), out=t)
+    np.bitwise_or(t, w, out=t)              # t = w | w >> 1
+    np.right_shift(t, np.uint64(2), out=w)  # w is free: reuse as temp
+    np.bitwise_or(t, w, out=t)              # t |= t >> 2
+    np.bitwise_not(t, out=t)
+    np.bitwise_and(t, _NIBLO, out=t)        # e
+    np.multiply(t, _NIBLO, out=t)
+    np.right_shift(t, np.uint64(60), out=t)
+    # a w == 0 word computes 16 % 16 = 0 through the multiply trick —
+    # add its 16 back from the row-wise count of such words (keeps every
+    # remaining temporary (c,)-sized, under the mmap threshold)
+    cnt = t.sum(axis=1).astype(np.int64)
+    cnt += 16 * z.sum(axis=1)
+    return cnt
 
 
 def _nibble_eq_counts_bytes(sa: np.ndarray, sb: np.ndarray,
@@ -1473,11 +1521,20 @@ def _sig4_pack_batch(batch: pa.Table, *, num_perms: int) -> pa.Table:
 
 
 @ray.remote(num_returns=2)
-def _sig4_block_task(tbl: pa.Table, num_perms: int
+def _sig4_block_task(tbl: pa.Table, num_perms: int,
+                     expected_rows: int | None = None
                      ) -> tuple[pa.Table, int]:
     """Narrow one signature block to its packed-nibble slices (raw-task
     form of the ``_sig4_pack_batch`` map) + its row count (the fused
-    path needs per-block offsets for positional indexing)."""
+    path needs per-block offsets for positional indexing).
+    ``expected_rows`` validates metadata-derived offsets IN the task —
+    a mismatch must fail loudly (positional indexing would silently
+    misattribute signatures), and checking here keeps the driver from
+    blocking on the narrow wave just to count rows."""
+    if expected_rows is not None and tbl.num_rows != expected_rows:
+        raise ValueError(
+            f"sig block metadata num_rows {expected_rows} != actual "
+            f"{tbl.num_rows}; positional sig indexing would corrupt")
     out = _sig4_pack_batch(
         tbl.select(["file_id", "minhash", "n_shingles", "simhash"]),
         num_perms=num_perms)
@@ -1553,13 +1610,44 @@ def _sig4_ref(sigs: ray.data.Dataset, cfg: PipelineConfig):
     return _merge_sig4_task.remote(refs, cfg.num_perms)
 
 
-def _sig4_indexed(src_refs: list, cfg: PipelineConfig):
+def _block_row_counts(ds) -> list[int] | None:
+    """Per-block row counts of a materialized dataset from BLOCK
+    METADATA (no task wave, no driver blocking) in ``to_arrow_refs``
+    order; None when any block's count is unknown (callers fall back
+    to counting in the narrow tasks)."""
+    try:
+        rows: list[int] = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for _ref, meta in bundle.blocks:
+                if meta.num_rows is None:
+                    return None
+                rows.append(int(meta.num_rows))
+        return rows
+    except Exception:
+        return None
+
+
+def _sig4_indexed(src_refs: list, cfg: PipelineConfig,
+                  counts: list[int] | None = None):
     """(unsorted est tuple ref, per-block row offsets) for the fused
-    positional-index path: narrow tasks per sig block, offsets from
-    their counts, one UNSORTED merge task."""
-    outs = [_sig4_block_task.remote(r, cfg.num_perms) for r in src_refs]
-    counts = ray.get([c for _t, c in outs])
-    offsets = np.concatenate(([0], np.cumsum(counts)))
+    positional-index path: narrow tasks per sig block, one UNSORTED
+    merge task. With metadata ``counts`` the driver never blocks here —
+    the narrow wave overlaps the bitmap wave that follows (the old
+    ``ray.get`` on the counts serialized the two waves: candidates'
+    critical path was narrow+bitmap+filter+expand strictly in
+    sequence); each narrow task validates its block's count in-task.
+    Without counts (unknown metadata) the old blocking count get
+    runs."""
+    if counts is not None:
+        outs = [_sig4_block_task.remote(r, cfg.num_perms, int(c))
+                for r, c in zip(src_refs, counts)]
+        offsets = np.concatenate(
+            ([0], np.cumsum(np.asarray(counts, dtype=np.int64))))
+    else:
+        outs = [_sig4_block_task.remote(r, cfg.num_perms)
+                for r in src_refs]
+        got = ray.get([c for _t, c in outs])
+        offsets = np.concatenate(([0], np.cumsum(got)))
     est_ref = _merge_sig4_task.remote([t for t, _c in outs],
                                       cfg.num_perms, False)
     return est_ref, offsets
@@ -1574,6 +1662,25 @@ def _pull_sig4(sigs: ray.data.Dataset, cfg: PipelineConfig
 
 def _is_sorted(x: np.ndarray) -> bool:
     return len(x) < 2 or bool(np.all(x[:-1] <= x[1:]))
+
+
+#: per-process est-gather scratch keyed by (chunk, words): two uint64
+#: gather slabs + the kernel's (w, t, z) intermediates. Workers run one
+#: task at a time, so one set per process suffices (same pattern as
+#: _SIMHASH_KEY_SCRATCH).
+_EST_SCRATCH: dict[tuple, tuple] = {}
+
+
+def _est_gather_scratch(step: int, words: int) -> tuple:
+    got = _EST_SCRATCH.get((step, words))
+    if got is None:
+        got = (np.empty((step, words), dtype=np.uint64),
+               np.empty((step, words), dtype=np.uint64),
+               np.empty((step, words), dtype=np.uint64),
+               np.empty((step, words), dtype=np.uint64),
+               np.empty((step, words), dtype=bool))
+        _EST_SCRATCH[(step, words)] = got
+    return got
 
 
 def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
@@ -1646,10 +1753,19 @@ def _est_unique_score(a: np.ndarray, b: np.ndarray, cp: np.ndarray,
     est = np.empty(m_pairs, np.float64)
     keep = np.empty(m_pairs, dtype=bool)
     step = 1 << 16
+    # every chunk-sized temporary (gathers + kernel intermediates,
+    # ~4 MB each) reuses per-process scratch: fresh per-chunk
+    # allocations cross glibc's mmap threshold and their page zeroing
+    # serializes across the 128 concurrent range tasks (the documented
+    # trap; measured ~1.7x on this wave at 1.28M files x 32 CPUs)
+    ga, gb, kw, kt, kz = _est_gather_scratch(step, smat.shape[1])
     for off in range(0, m_pairs, step):
-        sl = slice(off, off + step)
-        e = _nibble_eq_counts(smat[uia[sl]], smat[uib[sl]],
-                              cfg.num_perms) / cfg.num_perms
+        sl = slice(off, min(off + step, m_pairs))
+        c = sl.stop - sl.start
+        np.take(smat, uia[sl], axis=0, out=ga[:c], mode="clip")
+        np.take(smat, uib[sl], axis=0, out=gb[:c], mode="clip")
+        e = _nibble_eq_counts(ga[:c], gb[:c], cfg.num_perms,
+                              scratch=(kw, kt, kz)) / cfg.num_perms
         est[sl] = e
         keep[sl] = e >= _pair_cut_arrays(snsh[uia[sl]], snsh[uib[sl]],
                                          cfg)
