@@ -331,8 +331,12 @@ class NearDupPipeline:
         if refs is not None:
             import ray as _ray
 
-            cols = [np.asarray(_ray.get(r)["file_id"].to_numpy(
-                zero_copy_only=False), dtype=np.int64) for r in refs]
+            # one batch get (one resolution pass, zero-copy views) —
+            # the per-ref loop paid ~0.2 ms of driver serial time per
+            # partition even for local objects
+            cols = [np.asarray(t["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+                for t in _ray.get(list(refs))]
             return np.sort(np.concatenate(cols)) if cols else (
                 np.empty(0, dtype=np.int64))
         gm = self._group_map()
