@@ -310,6 +310,20 @@ def q_simhash_pairs_sql(sf_dir: str):
     return nd.simhash_pairs(sigs, CFG)
 
 
+def q_minhash_sql(sf_dir: str):
+    """MinHash sketch machinery under a value-level oracle: classic
+    K-permutation mins (32 affine permutations of the fingerprints_sql
+    hash family) as flat (file_id, slot, minhash) rows — DuckDB
+    reproduces every min via a VALUES cross-join + MIN aggregate. The
+    production OPH kernel keeps the same min-sketch structure over
+    splitmix64 hashes (not SQL-expressible; see the ORACLE_SQL note)
+    and stays pytest-gated."""
+    from data_deduplication_service_ray.stages import neardup as nd
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+    return nd.minhash_parity_signatures(docs, k=CFG.shingle_k)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact character-8-gram Jaccard for consecutive doc-id pairs.
 
@@ -715,6 +729,7 @@ QUERIES = {
     "neardup_pairs": q_neardup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "simhash_pairs_sql": q_simhash_pairs_sql,
+    "minhash_sql": q_minhash_sql,
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_edges": q_jaccard_edges,
     "jaccard_clusters": q_jaccard_clusters,
@@ -1118,6 +1133,56 @@ def _simhash_parity_sql() -> str:
 
 
 ORACLE_SQL["simhash_pairs_sql"] = _simhash_parity_sql()
+
+
+def _minhash_parity_sql() -> str:
+    """SQL twin of ``neardup.minhash_parity_signatures``: the same
+    distinct polynomial shingle hashes, MIN over each affine
+    permutation via a VALUES cross-join (every product < 2^62 — BIGINT
+    safe)."""
+    from data_deduplication_service_ray.stages.neardup import (
+        _MINHASH_PARITY_AB, _PARITY_P)
+
+    a_mix, b_mix = _MINHASH_PARITY_AB
+    vals = ", ".join(f"({s}, {int(a_mix[s])}, {int(b_mix[s])})"
+                     for s in range(len(a_mix)))
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS file_id, text, length(text) AS n
+          FROM documents WHERE length(text) > 0
+        ),
+        long_pos AS (
+          SELECT file_id, text, unnest(range(1, n - {_FP_K} + 2)) AS i
+          FROM d WHERE n >= {_FP_K}
+        ),
+        long_h AS (
+          SELECT file_id, ({_FP_TERMS}) % {_FP_P} AS h FROM long_pos
+        ),
+        short_pos AS (
+          SELECT file_id, text, n, unnest(range(1, n + 1)) AS j
+          FROM d WHERE n < {_FP_K}
+        ),
+        short_h AS (
+          SELECT file_id,
+                 SUM(CAST(ord(substr(text, j, 1)) AS BIGINT)
+                     * CAST(power({_FP_B}, n - j) AS BIGINT))
+                   % {_FP_P} AS h
+          FROM short_pos GROUP BY file_id, n
+        ),
+        h AS (
+          SELECT DISTINCT file_id, h FROM (
+            SELECT file_id, h FROM long_h
+            UNION ALL SELECT file_id, h FROM short_h)
+        ),
+        mix(slot, a, b) AS (VALUES {vals})
+        SELECT h.file_id, CAST(m.slot AS BIGINT) AS slot,
+               CAST(MIN((h.h * m.a + m.b) % {_PARITY_P}) AS BIGINT)
+                   AS minhash
+        FROM h CROSS JOIN mix m GROUP BY 1, 2
+    """
+
+
+ORACLE_SQL["minhash_sql"] = _minhash_parity_sql()
 
 
 def _text_oracles() -> dict[str, str]:

@@ -2540,3 +2540,55 @@ def simhash_parity_signatures(docs: ray.data.Dataset,
             "simhash": _as_i64(np.array(sims, dtype=np.uint64))})
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+#: Affine permutation family for the SQL-parity MinHash (32 slots —
+#: enough to pin the machinery; the production signature uses 128 OPH
+#: slots). Same BIGINT-safety contract as _PARITY_AB.
+_MINHASH_PARITY_AB = np.random.default_rng(0x31A7).integers(
+    1, _PARITY_P, size=(2, 32), dtype=np.int64)
+
+
+def minhash_parity_signatures(docs: ray.data.Dataset,
+                              k: int = 8) -> ray.data.Dataset:
+    """(file_id, content) -> flat (file_id, slot, minhash) rows: the
+    classic K-permutation MinHash (min over an affine permutation of
+    the shingle-hash set per slot, Broder 1997) computed from
+    SQL-expressible pieces — the ``fingerprints_sql`` pattern applied
+    to the permutation-min sketch. The production 128-slot OPH kernel
+    (functions/minhash.py) keeps the same min-sketch structure over
+    splitmix64-mixed 64-bit hashes, which DuckDB cannot reproduce
+    bit-exactly (mod-2^64 multiplies); its determinism + estimator
+    accuracy stay pytest-gated while THIS query pins the sketch
+    machinery to a value-level oracle."""
+    from data_deduplication_service_ray.stages.text import (
+        _poly_kgram_codes)
+
+    a_mix = _MINHASH_PARITY_AB[0].astype(np.uint64)
+    b_mix = _MINHASH_PARITY_AB[1].astype(np.uint64)
+    p = np.uint64(_PARITY_P)
+    n_slots = len(a_mix)
+    slots = np.arange(n_slots, dtype=np.int64)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fids, slot_l, mins = [], [], []
+        for fid, text in zip(batch["file_id"].to_pylist(),
+                             batch["content"].to_pylist()):
+            if not text:
+                continue
+            hs = np.unique(_poly_kgram_codes(text, k))
+            mv = ((hs[:, None] * a_mix[None, :] + b_mix[None, :])
+                  % p).min(axis=0)
+            fids.append(np.full(n_slots, fid, dtype=np.int64))
+            slot_l.append(slots)
+            mins.append(mv.astype(np.int64))
+        if not fids:
+            return pa.table({"file_id": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "minhash": pa.array([], pa.int64())})
+        return pa.table({
+            "file_id": pa.array(np.concatenate(fids)),
+            "slot": pa.array(np.concatenate(slot_l)),
+            "minhash": pa.array(np.concatenate(mins))})
+
+    return docs.map_batches(fp, batch_format="pyarrow")

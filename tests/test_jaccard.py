@@ -170,6 +170,37 @@ def test_simhash_parity_signatures_deterministic():
     assert a[1] != a[3]
 
 
+def test_minhash_parity_signatures_estimator():
+    """Parity MinHash: deterministic, empty docs excluded, identical
+    docs identical, and slot-agreement estimates Jaccard (the
+    min-sketch property; value parity itself is oracle-gated by the
+    minhash_sql row)."""
+    from data_deduplication_service_ray.stages.neardup import (
+        minhash_parity_signatures)
+
+    rng = np.random.default_rng(5)
+    base = _rand_text(rng, 2000)
+    texts = [base, base, base + _rand_text(rng, 500),
+             _rand_text(rng, 2000), ""]
+    ds = _docs_ds(texts, [1, 2, 3, 4, 5])
+    rows = minhash_parity_signatures(ds).take_all()
+    sig = {}
+    for r in rows:
+        sig.setdefault(r["file_id"], {})[r["slot"]] = r["minhash"]
+    assert 5 not in sig
+    assert all(len(v) == 32 for v in sig.values())
+    assert sig[1] == sig[2]                       # identical docs
+    agree_13 = sum(sig[1][s] == sig[3][s] for s in sig[1]) / 32
+    agree_14 = sum(sig[1][s] == sig[4][s] for s in sig[1]) / 32
+    # J(1,3) ~ 2000/2500 = 0.8; J(1,4) ~ 0 — the estimator must
+    # separate them decisively even at 32 slots
+    assert agree_13 >= 0.5
+    assert agree_14 <= 0.2
+    rows2 = minhash_parity_signatures(ds).take_all()
+    assert sorted(map(tuple, (r.values() for r in rows))) == \
+        sorted(map(tuple, (r.values() for r in rows2)))
+
+
 def test_no_edges_returns_empty_and_singletons():
     texts = ["alpha beta gamma delta", "zzz yyy xxx www", ""]
     ds = _docs_ds(texts, [1, 2, 3])
