@@ -114,7 +114,11 @@ def containment_pairs(ids: list[int], texts: list[str],
             lo, hi = _sa_range(concat, sa, text)
             owners = np.searchsorted(starts, sa[lo:hi], side="right") - 1
             tgt = outers_of.setdefault(cids[j], set())
-            for o in set(int(x) for x in owners):
+            # np.unique keeps the dedup vectorized: the occurrence scan
+            # is unbounded now that the emission cap moved to
+            # smallest-outer-ids, so a hot string's O(occurrences) work
+            # must not run through a Python generator
+            for o in np.unique(owners):
                 if cids[o] != cids[j]:
                     tgt.add(cids[o])
 

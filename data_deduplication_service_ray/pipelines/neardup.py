@@ -663,8 +663,10 @@ class NearDupPipeline:
         def _pull(ds) -> pa.Table:
             tabs = list(ds.iter_batches(batch_format="pyarrow",
                                         batch_size=None))
+            # all-filtered datasets yield zero batches; Ray's Schema
+            # wrapper exposes the pyarrow schema as .base_schema
             return (pa.concat_tables(tabs) if tabs
-                    else ds.schema().empty_table())
+                    else ds.schema().base_schema.empty_table())
 
         def _in(col, value_set):
             return pc.is_in(col, value_set=value_set)

@@ -49,9 +49,6 @@ from data_deduplication_service_ray.config import (PipelineConfig, gate,
 from data_deduplication_service_ray.functions.hashing import (
     char_kgram_hashes)
 
-_EMPTY_AB = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64())})
-
 #: Shared-count slack (in grams) for the hash-based prefilter: covers
 #: within-pair 64-bit gram-hash collisions (each deflates the shared
 #: count by at most 1; expected collisions per pair ~ m²/2^64 ≈ 0).
@@ -70,34 +67,66 @@ BROADCAST_COUNT_LIMIT = gate(10_000_000, "broadcast_count_limit")
 BROADCAST_VERIFY_LIMIT = gate(100_000, "broadcast_verify_limit")
 
 
-def _doc_gram_tables(batch: pa.Table, k: int, what: str) -> pa.Table:
-    """Per-doc distinct gram-hash rows (what="rows") or per-doc distinct
-    counts (what="counts"). One ``char_kgram_hashes`` + ``np.unique``
-    per doc — the per-doc Python is the batch iteration only; hashing
-    and dedup are vectorized."""
-    fids_out, hs_out = [], []
-    cnt_out = []
+def _doc_gram_tables(batch: pa.Table, k: int) -> pa.Table:
+    """Per-doc distinct gram-hash rows (band_hash, file_id, n_grams) —
+    the doc's exact distinct-gram count rides every row so counts never
+    need a second corpus shingling pass. One ``char_kgram_hashes`` +
+    ``np.unique`` per doc; the per-doc Python is the batch iteration
+    only, hashing and dedup are vectorized."""
+    fids_out, hs_out, n_out = [], [], []
     for fid, t in zip(batch["file_id"].to_pylist(),
                       batch["content"].to_pylist()):
         if not t:
             continue
         h = np.unique(char_kgram_hashes(t, k))
-        if what == "counts":
-            fids_out.append(fid)
-            cnt_out.append(len(h))
-        else:
-            fids_out.append(np.full(len(h), fid, dtype=np.int64))
-            hs_out.append(h.view(np.int64))
-    if what == "counts":
-        return pa.table({
-            "file_id": pa.array(fids_out, pa.int64()),
-            "n_grams": pa.array(cnt_out, pa.int64())})
+        fids_out.append(np.full(len(h), fid, dtype=np.int64))
+        hs_out.append(h.view(np.int64))
+        n_out.append(np.full(len(h), len(h), dtype=np.int64))
     if not fids_out:
         return pa.table({"band_hash": pa.array([], pa.int64()),
-                         "file_id": pa.array([], pa.int64())})
+                         "file_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64())})
     return pa.table({
         "band_hash": pa.array(np.concatenate(hs_out)),
-        "file_id": pa.array(np.concatenate(fids_out))})
+        "file_id": pa.array(np.concatenate(fids_out)),
+        "n_grams": pa.array(np.concatenate(n_out))})
+
+
+def _block_doc_counts(batch: pa.Table) -> pa.Table:
+    """Gram rows -> per-block distinct (file_id, n_grams) pairs (exact:
+    n_grams is constant per doc; cross-block duplicates — a doc whose
+    rows got split across blocks — are deduped by the consumer)."""
+    if batch.num_rows == 0:
+        return pa.table({"file_id": pa.array([], pa.int64()),
+                         "n_grams": pa.array([], pa.int64())})
+    f = np.asarray(batch["file_id"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    n = np.asarray(batch["n_grams"].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    uniq, idx = np.unique(f, return_index=True)
+    return pa.table({"file_id": pa.array(uniq),
+                     "n_grams": pa.array(n[idx])})
+
+
+def _score_gram_jaccard(batch: pa.Table, texts_a: list[str],
+                        texts_b: list[str], k: int,
+                        tau: float) -> pa.Table:
+    """Shared exact-verify kernel for the broadcast and join paths: ONE
+    scoring expression (the parity contract — inter/(na+nb-inter) on
+    true gram-string sets) so the two content-fetch strategies can
+    never drift apart."""
+    sets_a = _gram_sets(texts_a, k)
+    sets_b = _gram_sets(texts_b, k)
+    jac = []
+    for sa, sb in zip(sets_a, sets_b):
+        inter = len(sa & sb)
+        jac.append(inter / (len(sa) + len(sb) - inter))
+    jarr = np.array(jac, dtype=np.float64)
+    keep = jarr >= tau
+    return pa.table({
+        "a": batch["a"].filter(pa.array(keep)),
+        "b": batch["b"].filter(pa.array(keep)),
+        "jaccard": pa.array(jarr[keep], pa.float64())})
 
 
 def _gram_sets(texts: list[str], k: int) -> list[set]:
@@ -125,14 +154,20 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
     nparts = join_parts(cfg)
     slim = docs.select_columns(["file_id", "content"])
 
+    # gram rows carry the doc's exact distinct-gram count so the corpus
+    # is shingled ONCE (the former separate counts pass re-hashed every
+    # doc); materialized because both the candidate machinery and the
+    # counts derivation consume it. candidate_pairs keeps only
+    # band_hash/file_id, so the extra column never rides the pairing.
     rows = slim.map_batches(_doc_gram_tables, batch_format="pyarrow",
-                            fn_kwargs={"k": k, "what": "rows"})
+                            fn_kwargs={"k": k}).materialize()
     # occurrence rows (one per shared gram per pair) are ~20x the
     # distinct pair count here — compress each block to exact partial
     # counts BEFORE the global distinct (distinct_pairs sums ``n_occ``),
     # the groupby-combiner house pattern: the all-to-all reduce sees
     # pair-sized, not occurrence-sized, input.
-    occ = candidate_pairs(rows, cfg, distinct=False)
+    occ = candidate_pairs(rows, cfg, distinct=False,
+                          n_rows_hint=rows.count())
 
     def compress(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -153,13 +188,22 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
 
     comp = occ.map_batches(compress, batch_format="pyarrow",
                            batch_size=None).materialize()
-    if comp.count() == 0:      # zero-block materialized ds has no schema
-        comp = ray.data.from_arrow(compress(_EMPTY_AB)).materialize()
+    _empty_edges = pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+    if comp.count() == 0:
+        # no pair shares a gram -> no candidates, no edges. Returning
+        # here also keeps a fully-empty dataset out of the count/content
+        # joins below (Ray 2.49 raises ArrowInvalid on empty join sides)
+        return ray.data.from_arrow(_empty_edges)
     cand = distinct_pairs(comp)
 
-    counts = slim.map_batches(_doc_gram_tables, batch_format="pyarrow",
-                              fn_kwargs={"k": k, "what": "counts"}
-                              ).materialize()
+    # per-doc counts derived FROM the gram rows (no second shingling
+    # pass): per-block distinct (file_id, n_grams), deduped globally by
+    # the consumer (a doc's rows can be split across blocks, each copy
+    # carrying the identical count)
+    counts = rows.map_batches(_block_doc_counts, batch_format="pyarrow",
+                              batch_size=None).materialize()
     n_docs = counts.count()
 
     need_scale = tau / (1.0 + tau)
@@ -178,8 +222,9 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
                else np.empty(0, dtype=np.int64))
         cnt = (np.concatenate(cnt_l) if cnt_l
                else np.empty(0, dtype=np.int64))
-        order = np.argsort(ids)
-        handle = ray.put((ids[order], cnt[order]))
+        ids, first = np.unique(ids, return_index=True)  # cross-block dedup
+        cnt = cnt[first]
+        handle = ray.put((ids, cnt))
 
         def prefilter(batch: pa.Table) -> pa.Table:
             sids, scnt = ray.get(handle)
@@ -198,7 +243,13 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
 
         surv = cand.map_batches(prefilter, batch_format="pyarrow")
     else:
-        joined = _join_both_sides(cand, counts, "n_grams", "ng", nparts)
+        from ray.data.aggregate import Max
+
+        # global distinct (cross-block duplicate counts collapse; Max of
+        # identical values) before the join fallback
+        counts_d = counts.groupby("file_id").aggregate(
+            Max("n_grams", alias_name="n_grams"))
+        joined = _join_both_sides(cand, counts_d, "n_grams", "ng", nparts)
 
         def prefilter_joined(batch: pa.Table) -> pa.Table:
             shared = np.asarray(
@@ -219,10 +270,7 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
     surv = surv.materialize()
     n_surv = surv.count()
     if n_surv == 0:
-        return ray.data.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
+        return ray.data.from_arrow(_empty_edges)
 
     if n_surv <= BROADCAST_VERIFY_LIMIT:
         # contents of involved ids only (bounded by survivor density):
@@ -245,38 +293,20 @@ def exact_jaccard_edges(docs: ray.data.Dataset, k: int = 8,
 
         def verify(batch: pa.Table) -> pa.Table:
             lookup = ray.get(chandle)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            sets_a = _gram_sets([lookup[x] for x in a], k)
-            sets_b = _gram_sets([lookup[x] for x in b], k)
-            jac = []
-            for sa, sb in zip(sets_a, sets_b):
-                inter = len(sa & sb)
-                jac.append(inter / (len(sa) + len(sb) - inter))
-            jarr = np.array(jac, dtype=np.float64)
-            keep = jarr >= tau
-            return pa.table({
-                "a": batch["a"].filter(pa.array(keep)),
-                "b": batch["b"].filter(pa.array(keep)),
-                "jaccard": pa.array(jarr[keep], pa.float64())})
+            return _score_gram_jaccard(
+                batch,
+                [lookup[x] for x in batch["a"].to_pylist()],
+                [lookup[x] for x in batch["b"].to_pylist()], k, tau)
 
         return surv.map_batches(verify, batch_format="pyarrow")
 
     attached = _join_both_sides(surv, slim, "content", "content", nparts)
 
     def verify_joined(batch: pa.Table) -> pa.Table:
-        sets_a = _gram_sets(batch["content_a"].to_pylist(), k)
-        sets_b = _gram_sets(batch["content_b"].to_pylist(), k)
-        jac = []
-        for sa, sb in zip(sets_a, sets_b):
-            inter = len(sa & sb)
-            jac.append(inter / (len(sa) + len(sb) - inter))
-        jarr = np.array(jac, dtype=np.float64)
-        keep = jarr >= tau
-        return pa.table({
-            "a": batch["a"].filter(pa.array(keep)),
-            "b": batch["b"].filter(pa.array(keep)),
-            "jaccard": pa.array(jarr[keep], pa.float64())})
+        return _score_gram_jaccard(batch,
+                                   batch["content_a"].to_pylist(),
+                                   batch["content_b"].to_pylist(),
+                                   k, tau)
 
     return attached.map_batches(verify_joined, batch_format="pyarrow")
 

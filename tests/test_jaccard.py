@@ -210,3 +210,20 @@ def test_no_edges_returns_empty_and_singletons():
               for r in jc.exact_jaccard_clusters(ds, k=8,
                                                  tau=0.5).take_all()}
     assert labels == {1: 1, 2: 2}
+
+
+def test_no_shared_grams_forced_distributed(monkeypatch):
+    """A corpus with zero shared grams must yield empty edges on BOTH
+    the gated and the forced-distributed paths (regression: the count
+    join planned against a fully-empty candidate dataset raised
+    ArrowInvalid in Ray 2.49)."""
+    texts = ["alpha beta gamma delta", "zzz yyy xxx www",
+             "0123456789 abcdefgh"]
+    ds = _docs_ds(texts, [1, 2, 3])
+    monkeypatch.setattr(jc, "BROADCAST_COUNT_LIMIT", 0)
+    monkeypatch.setattr(jc, "BROADCAST_VERIFY_LIMIT", 0)
+    assert jc.exact_jaccard_edges(ds, k=8, tau=0.5).take_all() == []
+    labels = {r["file_id"]: r["cluster_id"]
+              for r in jc.exact_jaccard_clusters(ds, k=8,
+                                                 tau=0.5).take_all()}
+    assert labels == {1: 1, 2: 2, 3: 3}

@@ -736,3 +736,23 @@ def test_incremental_delete_matches_recompute(pipe, small_corpus_dir):
     pi = pair_key(inc["verified_pairs"].take_all())
     pf = pair_key(full.verified_pairs().take_all())
     assert pi == pf
+
+
+def test_incremental_delete_nonrep_and_absent_ids(pipe):
+    """The delete set may contain no representative at all (non-rep
+    exact-dup member) or ids absent from the corpus — the doomed-groups
+    pull is then EMPTY and must not crash (regression: the empty-pull
+    fallback called a method that exists on pyarrow.Schema but not on
+    Ray's Schema wrapper)."""
+    edges = pipe.exact_edges().take_all()
+    assert edges, "fixture must contain exact-dup member edges"
+    member = edges[0]["b"]            # a non-representative member
+    dels = {member, -987654321}       # plus an id that does not exist
+    inc = pipe.delete_files_incremental(dels)
+    full = pipe.without_files(dels)
+    lab_inc = {r["file_id"]: r["cluster_id"]
+               for r in inc["clusters"].take_all()}
+    lab_full = {r["file_id"]: r["cluster_id"]
+                for r in full.clusters().take_all()}
+    assert lab_inc == lab_full
+    assert member not in lab_inc
