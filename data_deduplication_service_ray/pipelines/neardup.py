@@ -660,13 +660,14 @@ class NearDupPipeline:
         d_arr = pa.array(d_sorted, pa.int64())
         d_np = np.array(d_sorted, dtype=np.int64)
 
-        def _pull(ds) -> pa.Table:
+        def _pull(ds, empty: pa.Table | None = None) -> pa.Table:
             tabs = list(ds.iter_batches(batch_format="pyarrow",
                                         batch_size=None))
-            # all-filtered datasets yield zero batches; Ray's Schema
-            # wrapper exposes the pyarrow schema as .base_schema
-            return (pa.concat_tables(tabs) if tabs
-                    else ds.schema().base_schema.empty_table())
+            if tabs:
+                return pa.concat_tables(tabs)
+            if empty is not None:   # schema() can be None for a fully-
+                return empty        # filtered lazy chain (0 near edges)
+            return ds.schema().base_schema.empty_table()
 
         def _in(col, value_set):
             return pc.is_in(col, value_set=value_set)
@@ -769,7 +770,9 @@ class NearDupPipeline:
             return _pull(ds.map_batches(
                 lambda t: t.filter(pc.or_(_in(t["a"], node_arr),
                                           _in(t["b"], node_arr))),
-                batch_format="pyarrow"))
+                batch_format="pyarrow"),
+                empty=pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.int64())}))
 
         near_e = _edge_sel(self.near_edges().select_columns(["a", "b"]))
         exact_e = _edge_sel(self.exact_edges())
@@ -801,3 +804,366 @@ class NearDupPipeline:
 
         return {"signatures": new_sigs, "verified_pairs": new_pairs,
                 "clusters": new_labels}
+
+    def add_files_incremental(self, new_docs: ray.data.Dataset
+                              ) -> dict[str, ray.data.Dataset]:
+        """Incremental INGEST at the near-dup layer — the reference's
+        write path (S2 ingest + D5 idempotent re-run,
+        include/FileService.h:359-427) lifted to signatures / pairs /
+        clusters: a new document batch updates the three artifacts
+        without recomputing the existing corpus.
+
+        Semantics (pytest-gated full-schema parity vs recompute):
+        - exact layer: a new doc whose content already exists joins its
+          group; if its id undercuts the group's representative the rep
+          is PROMOTED (old rep id rewritten everywhere — identical
+          content, the mirror image of delete's succession);
+        - signatures: computed ONLY for genuinely new contents; old
+          rows pass through (promoted ids rewritten);
+        - candidate pairs: only buckets CONTAINING a new doc are
+          touched — new band hashes broadcast as a semi-join filter
+          over ONE pass of the existing signature table (no content
+          scan, no all-pairs); expansion/estimate/verify reuse the
+          pipeline kernels so n_bands/est/hamming/jaccard/contained
+          match the recomputed values bit-for-bit;
+        - clusters: only clusters touching a new edge relabel.
+
+        Exactness caveat (same as delete, documented + asserted absent
+        in the parity fixture): a CAPPED bucket's window edges among
+        OLD members can shift when new members land in it. Driver
+        pulls are bounded by the new batch + touched buckets +
+        affected clusters. Returns {"signatures", "verified_pairs",
+        "clusters"}."""
+        import pyarrow.compute as pc
+
+        from data_deduplication_service_ray.functions import minhash as mh
+
+        cfg = self.cfg
+
+        def _pull(ds, empty: pa.Table | None = None) -> pa.Table:
+            tabs = list(ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=None))
+            if tabs:
+                return pa.concat_tables(tabs)
+            if empty is not None:   # schema() can be None for a fully-
+                return empty        # filtered lazy chain (0 near edges)
+            return ds.schema().base_schema.empty_table()
+
+        # ---- 0. normalize the new batch (batch-bounded pull) --------
+        newn = normalize.normalize(
+            new_docs.select_columns(["file_id", "content"]))
+        ntabs = [t for t in newn.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)
+                 if t.num_rows]
+        if not ntabs:      # nothing survives the empty-content guard
+            return {"signatures": self.signatures(),
+                    "verified_pairs": self.verified_pairs(),
+                    "clusters": self.clusters()}
+        ntbl = pa.concat_tables(ntabs)
+        new_ids_all = np.asarray(ntbl["file_id"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        new_sha = ntbl["content_sha256"].to_pylist()
+        new_content = ntbl["content"].to_pylist()
+        content_by_id = dict(zip(new_ids_all.tolist(), new_content))
+
+        by_sha: dict[str, list[int]] = {}
+        for fid, sha in zip(new_ids_all.tolist(), new_sha):
+            by_sha.setdefault(sha, []).append(fid)
+
+        sha_arr = pa.array(sorted(by_sha), pa.string())
+        old_groups = _pull(self.file_groups().map_batches(
+            lambda t: t.filter(pc.is_in(t["content_sha256"],
+                                        value_set=sha_arr)),
+            batch_format="pyarrow"),
+            empty=pa.table({"content_sha256": pa.array([], pa.string()),
+                            "file_id": pa.array([], pa.int64()),
+                            "dup_count": pa.array([], pa.int64())}))
+        old_rep_of = dict(zip(old_groups["content_sha256"].to_pylist(),
+                              old_groups["file_id"].to_pylist()))
+
+        promote: dict[int, int] = {}      # old rep id -> smaller new id
+        new_rep_rows: list[tuple[int, str]] = []   # content-new reps
+        verify_extra_rows: list[tuple[int, str]] = []  # promoted ids
+        exact_new: list[tuple[int, int]] = []
+        for sha, members in by_sha.items():
+            m0 = min(members)
+            if sha in old_rep_of:
+                r_old = old_rep_of[sha]
+                rep = min(r_old, m0)
+                if rep != r_old:
+                    promote[r_old] = rep
+                    exact_new.append((rep, r_old))
+                    verify_extra_rows.append((rep, content_by_id[rep]))
+            else:
+                rep = m0
+                new_rep_rows.append((rep, content_by_id[rep]))
+            for m in members:
+                if m != rep:
+                    exact_new.append((rep, m))
+
+        pf_np = np.array(sorted(promote), dtype=np.int64)
+        pt_np = np.array([promote[k] for k in sorted(promote)],
+                         dtype=np.int64)
+
+        def _promote_ids(ids: np.ndarray) -> np.ndarray:
+            if not len(pf_np) or not len(ids):
+                return ids
+            pos = np.minimum(np.searchsorted(pf_np, ids), len(pf_np) - 1)
+            hit = pf_np[pos] == ids
+            out = ids.copy()
+            out[hit] = pt_np[pos[hit]]
+            return out
+
+        # ---- 1. signatures ------------------------------------------
+        def sig_fix(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["file_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            return batch.set_column(
+                batch.schema.get_field_index("file_id"), "file_id",
+                pa.array(_promote_ids(ids)))
+
+        sigs_old = self.signatures().map_batches(
+            sig_fix, batch_format="pyarrow")
+        new_sig_tbl = None
+        content_type = ntbl.schema.field("content").type
+        if new_rep_rows:
+            nds = ray.data.from_arrow(pa.table({
+                "file_id": pa.array([r for r, _ in new_rep_rows],
+                                    pa.int64()),
+                "content": pa.array([c for _, c in new_rep_rows],
+                                    content_type)}))
+            new_sig_tbl = _pull(neardup.signatures(nds, cfg))
+            sigs_out = sigs_old.union(
+                ray.data.from_arrow(new_sig_tbl))
+        else:
+            sigs_out = sigs_old
+
+        # ---- 2. candidate pairs touching new contents ---------------
+        ver_schema = pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "n_bands": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.bool_()),
+            "est": pa.array([], pa.float64()),
+            "hamming": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "contained": pa.array([], pa.bool_())})
+        new_verified: ray.data.Dataset | None = None
+        if new_sig_tbl is not None and new_sig_tbl.num_rows:
+            new_bands = neardup._bands_from_sigs(new_sig_tbl, cfg=cfg)
+            nb_hash = np.unique(np.asarray(
+                new_bands["band_hash"].to_numpy(zero_copy_only=False),
+                dtype=np.int64))
+            bh_handle = ray.put(nb_hash)
+
+            def touched(batch: pa.Table) -> pa.Table:
+                bt = neardup._bands_from_sigs(batch, cfg=cfg)
+                hs = ray.get(bh_handle)
+                h = np.asarray(bt["band_hash"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                if not len(h) or not len(hs):
+                    return bt.slice(0, 0)
+                pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+                return bt.filter(pa.array(hs[pos] == h))
+
+            old_touched = _pull(
+                self.signatures().map_batches(
+                    touched, batch_format="pyarrow"),
+                empty=pa.table({"band_hash": pa.array([], pa.int64()),
+                                "file_id": pa.array([], pa.int64())}))
+            bhs = np.concatenate([
+                np.asarray(old_touched["band_hash"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64),
+                np.asarray(new_bands["band_hash"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)])
+            fids = np.concatenate([
+                np.asarray(old_touched["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64),
+                np.asarray(new_bands["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)])
+            order = np.lexsort((fids, bhs))
+            occ = neardup._expand_sorted_slice(
+                bhs[order], fids[order], cfg.bucket_cap,
+                cfg.bucket_window)
+            a = np.asarray(occ["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(occ["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            cp = np.asarray(occ["capped"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            nr = np.sort(np.array([r for r, _ in new_rep_rows],
+                                  dtype=np.int64))
+
+            def _isin(x, s):
+                if not len(s) or not len(x):
+                    return np.zeros(len(x), dtype=bool)
+                p = np.minimum(np.searchsorted(s, x), len(s) - 1)
+                return s[p] == x
+
+            keep = _isin(a, nr) | _isin(b, nr)   # old-old already known
+            a, b, cp = a[keep], b[keep], cp[keep]
+            # promoted content pairs carry the promoted rep id
+            a = _promote_ids(a)
+            b = _promote_ids(b)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            # distinct + n_bands + capped-any (ids span the full int64
+            # range: structured unique over the 2-col stack)
+            uniq, inv = np.unique(np.stack([lo, hi], axis=1), axis=0,
+                                  return_inverse=True)
+            n_bands = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(n_bands, inv, 1)
+            capped_any = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(capped_any, inv, cp)
+            ua, ub = uniq[:, 0], uniq[:, 1]
+            if len(ua):
+                # est/hamming from the involved signatures only
+                inv_ids = np.unique(np.concatenate([ua, ub]))
+                id_arr = pa.array(inv_ids)
+
+                def keep_inv(batch: pa.Table) -> pa.Table:
+                    return batch.filter(pc.is_in(batch["file_id"],
+                                                 value_set=id_arr))
+
+                inv_old = _pull(
+                    self.signatures().map_batches(
+                        sig_fix, batch_format="pyarrow").map_batches(
+                        keep_inv, batch_format="pyarrow"),
+                    empty=new_sig_tbl.schema.empty_table())
+                inv_tbl = pa.concat_tables(
+                    [inv_old,
+                     keep_inv(new_sig_tbl)]).combine_chunks()
+                sids = np.asarray(inv_tbl["file_id"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+                sorter = np.argsort(sids)
+                sids = sids[sorter]
+                mat = np.asarray(
+                    inv_tbl["minhash"].combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False),
+                    dtype=np.int64).view(np.uint64).reshape(
+                        inv_tbl.num_rows, cfg.num_perms)[sorter]
+                nsh = np.asarray(inv_tbl["n_shingles"].to_numpy(
+                    zero_copy_only=False), dtype=np.int64)[sorter]
+                sim = np.asarray(inv_tbl["simhash"].to_numpy(
+                    zero_copy_only=False),
+                    dtype=np.int64).view(np.uint64)[sorter]
+                packed = neardup._pack_nibbles(
+                    mat.astype(np.uint8)).view(np.uint64)
+                ia = np.searchsorted(sids, ua)
+                ib = np.searchsorted(sids, ub)
+                est = (neardup._nibble_eq_counts(
+                    packed[ia], packed[ib], cfg.num_perms)
+                    / cfg.num_perms)
+                cut = neardup._pair_cut_arrays(nsh[ia], nsh[ib], cfg)
+                ham = mh.hamming64(sim[ia], sim[ib])
+                k2 = est >= cut
+                cand_tbl = pa.table({
+                    "a": pa.array(ua[k2]), "b": pa.array(ub[k2]),
+                    "n_bands": pa.array(n_bands[k2]),
+                    "capped": pa.array(capped_any[k2] > 0),
+                    "est": pa.array(est[k2], pa.float64()),
+                    "hamming": pa.array(ham[k2].astype(np.int64))})
+                if cand_tbl.num_rows:
+                    docs_comb = self.representatives().union(
+                        ray.data.from_arrow(pa.table({
+                            "file_id": pa.array(
+                                [r for r, _ in (new_rep_rows
+                                                + verify_extra_rows)],
+                                pa.int64()),
+                            "content": pa.array(
+                                [c for _, c in (new_rep_rows
+                                                + verify_extra_rows)],
+                                content_type)})))
+                    new_verified = neardup.verify_pairs(
+                        ray.data.from_arrow(cand_tbl), docs_comb,
+                        cfg, prefiltered=True).materialize()
+        if new_verified is None:
+            new_verified = ray.data.from_arrow(ver_schema)
+
+        # old verified pairs: promoted rep ids rewritten (symmetric
+        # score columns; a<b renormalized)
+        def pair_fix(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            ma, mb = _promote_ids(a), _promote_ids(b)
+            lo, hi = np.minimum(ma, mb), np.maximum(ma, mb)
+            out = batch.set_column(batch.schema.get_field_index("a"),
+                                   "a", pa.array(lo))
+            return out.set_column(out.schema.get_field_index("b"),
+                                  "b", pa.array(hi))
+
+        verified_out = self.verified_pairs().map_batches(
+            pair_fix, batch_format="pyarrow").union(new_verified)
+
+        # ---- 3. clusters: relabel only touched clusters -------------
+        thr = cfg.jaccard_threshold
+        nv = _pull(new_verified)
+        near_a = np.asarray(nv["a"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        near_b = np.asarray(nv["b"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        jac = np.asarray(nv["jaccard"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        ea_new = np.concatenate([near_a[jac >= thr],
+                                 np.array([x for x, _ in exact_new],
+                                          dtype=np.int64)])
+        eb_new = np.concatenate([near_b[jac >= thr],
+                                 np.array([y for _, y in exact_new],
+                                          dtype=np.int64)])
+
+        labels = self.clusters().materialize()
+        endpoints = np.unique(np.concatenate([ea_new, eb_new])) \
+            if len(ea_new) else np.empty(0, dtype=np.int64)
+        ep_arr = pa.array(endpoints)
+        hit = _pull(labels.map_batches(
+            lambda t: t.filter(pc.is_in(t["file_id"],
+                                        value_set=ep_arr)),
+            batch_format="pyarrow"))
+        aff_cids = pa.array(sorted(set(hit["cluster_id"].to_pylist())),
+                            pa.int64())
+        aff_rows = _pull(labels.map_batches(
+            lambda t: t.filter(pc.is_in(t["cluster_id"],
+                                        value_set=aff_cids)),
+            batch_format="pyarrow"))
+        aff_nodes = np.sort(np.asarray(aff_rows["file_id"].to_numpy(
+            zero_copy_only=False), dtype=np.int64))
+        node_arr = pa.array(aff_nodes)
+
+        def _edge_sel(ds) -> pa.Table:
+            return _pull(ds.map_batches(
+                lambda t: t.filter(pc.or_(
+                    pc.is_in(t["a"], value_set=node_arr),
+                    pc.is_in(t["b"], value_set=node_arr))),
+                batch_format="pyarrow"),
+                empty=pa.table({"a": pa.array([], pa.int64()),
+                                "b": pa.array([], pa.int64())}))
+
+        old_near = _edge_sel(self.near_edges().select_columns(
+            ["a", "b"]))
+        old_exact = _edge_sel(self.exact_edges())
+        ea = np.concatenate([
+            np.asarray(old_near["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64),
+            np.asarray(old_exact["a"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64), ea_new])
+        eb = np.concatenate([
+            np.asarray(old_near["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64),
+            np.asarray(old_exact["b"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64), eb_new])
+        relabeled = cl.cc_min_labels(ea, eb)
+        labeled_ids = set(relabeled["file_id"].to_pylist())
+        nodes_all = np.unique(np.concatenate([aff_nodes, new_ids_all]))
+        singles = [int(x) for x in nodes_all
+                   if int(x) not in labeled_ids]
+        aff_out = pa.concat_tables([relabeled, pa.table({
+            "file_id": pa.array(singles, pa.int64()),
+            "cluster_id": pa.array(singles, pa.int64())})])
+        untouched = labels.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t["cluster_id"], value_set=aff_cids))),
+            batch_format="pyarrow")
+        clusters_out = untouched.union(ray.data.from_arrow(aff_out))
+
+        return {"signatures": sigs_out, "verified_pairs": verified_out,
+                "clusters": clusters_out}

@@ -756,3 +756,81 @@ def test_incremental_delete_nonrep_and_absent_ids(pipe):
                 for r in full.clusters().take_all()}
     assert lab_inc == lab_full
     assert member not in lab_inc
+
+
+def test_incremental_add_matches_recompute():
+    """add_files_incremental == full recompute over old + new docs, for
+    signatures, verified pairs (FULL schema incl. n_bands/est) and
+    clusters. The new batch covers: a near-dup of an old doc, an exact
+    duplicate that PROMOTES the group rep (smaller id), an exact
+    duplicate that joins as a plain member, a brand-new unique doc, a
+    brand-new duplicate pair, and an empty doc."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(17)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, size=n))
+
+    old_texts, old_ids = [], []
+    for i in range(30):
+        old_texts.append(f"old doc {i}: {rand_text(600)}")
+        old_ids.append(1000 + i)
+    dup_content = "shared exact content " + rand_text(600)
+    near_base = rand_text(800)
+    old_texts += [dup_content, near_base]
+    old_ids += [2000, 3000]            # 2000 = rep of the dup group
+
+    new_texts = [near_base + " tail edit",   # near-dup of 3000
+                 dup_content,                # promotes rep (id < 2000)
+                 dup_content,                # plain member (id > 2000)
+                 "brand new " + rand_text(600),
+                 "twin " + rand_text(600)]
+    new_texts.append(new_texts[-1])          # brand-new dup pair
+    new_texts.append("")                     # empty -> dropped
+    new_ids = [4000, 500, 5000, 6000, 7000, 7001, 8000]
+
+    def ds_of(texts, ids):
+        return ray.data.from_arrow(pa.table({
+            "file_id": pa.array(ids, pa.int64()),
+            "content": pa.array(texts, pa.string())}))
+
+    full = NearDupPipeline(ds_of(old_texts + new_texts,
+                                 old_ids + new_ids), CFG)
+    old = NearDupPipeline(ds_of(old_texts, old_ids), CFG)
+    inc = old.add_files_incremental(ds_of(new_texts, new_ids))
+
+    # no capped buckets — the documented exactness domain
+    assert all(not r["capped"] for r in full.verified_pairs().take_all())
+
+    def sig_key(rows):
+        return {r["file_id"]: (tuple(r["minhash"]), r["simhash"],
+                               r["n_shingles"]) for r in rows}
+
+    si = sig_key(inc["signatures"].take_all())
+    sf = sig_key(full.signatures().take_all())
+    assert set(si) == set(sf)
+    assert si == sf
+    assert 500 in si and 2000 not in si      # promotion happened
+
+    def pair_key(rows):
+        return {(r["a"], r["b"]):
+                (r["n_bands"], round(r["est"], 12), r["hamming"],
+                 round(r["jaccard"], 12), r["contained"])
+                for r in rows}
+
+    pi = pair_key(inc["verified_pairs"].take_all())
+    pf = pair_key(full.verified_pairs().take_all())
+    assert pi == pf
+    assert any(4000 in k for k in pf)        # near-dup pair exists
+
+    lab_inc = {r["file_id"]: r["cluster_id"]
+               for r in inc["clusters"].take_all()}
+    lab_full = {r["file_id"]: r["cluster_id"]
+                for r in full.clusters().take_all()}
+    assert lab_inc == lab_full
+    assert 8000 not in lab_inc               # empty excluded
+    assert lab_inc[2000] == lab_inc[500] == lab_inc[5000] == 500
+    assert lab_inc[7000] == lab_inc[7001] == 7000
+    assert lab_inc[3000] == lab_inc[4000]
