@@ -290,6 +290,43 @@ def q_simhash_pairs(sf_dir: str):
     return nd.simhash_pairs(p.signatures(), CFG)
 
 
+def q_incremental_delete_clusters(sf_dir: str):
+    """Incremental MAINTENANCE demo (reference delete path D1-D3 at the
+    near-dup layer): build the pipeline over all documents, then remove
+    source 'src0' docs via ``delete_files_incremental`` (anti-join +
+    rep succession + affected-cluster-only relabel) and return the
+    resulting cluster labels. Rows-only driver check; exact parity vs
+    full recompute is pytest-gated
+    (test_incremental_delete_matches_recompute)."""
+    p = _neardup(sf_dir)
+    doomed = (read_documents(sf_dir, columns=["doc_id", "source"])
+              .filter(expr="source == 'src0'"))
+    ids = {r["file_id"] for r in doomed.take_all()}
+    return p.delete_files_incremental(ids)["clusters"]
+
+
+def q_incremental_add_clusters(sf_dir: str):
+    """Incremental INGEST demo (reference write path S2/D5 at the
+    near-dup layer): build the pipeline WITHOUT source 'src0', then
+    ingest those docs via ``add_files_incremental`` (touched-bucket
+    candidates + rep promotion + affected-cluster relabel) and return
+    the cluster labels over the full corpus. Rows-only driver check;
+    full-schema parity vs recompute is pytest-gated
+    (test_incremental_add_matches_recompute)."""
+    from data_deduplication_service_ray.pipelines.neardup import (
+        NearDupPipeline)
+
+    base = (read_documents(sf_dir, columns=["doc_id", "text", "source"])
+            .filter(expr="source != 'src0'")
+            .select_columns(["file_id", "content"]))
+    newbie = (read_documents(sf_dir,
+                             columns=["doc_id", "text", "source"])
+              .filter(expr="source == 'src0'")
+              .select_columns(["file_id", "content"]))
+    pipe = NearDupPipeline(base, CFG)
+    return pipe.add_files_incremental(newbie)["clusters"]
+
+
 def q_simhash_pairs_sql(sf_dir: str):
     """SimHash pair machinery under a value-level oracle: the SAME
     banded ``simhash_pairs`` stage (bucketing, pigeonhole candidate
@@ -730,6 +767,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "simhash_pairs_sql": q_simhash_pairs_sql,
     "minhash_sql": q_minhash_sql,
+    "incremental_delete_clusters": q_incremental_delete_clusters,
+    "incremental_add_clusters": q_incremental_add_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "jaccard_edges": q_jaccard_edges,
     "jaccard_clusters": q_jaccard_clusters,
