@@ -1062,19 +1062,43 @@ class NearDupPipeline:
                     "est": pa.array(est[k2], pa.float64()),
                     "hamming": pa.array(ham[k2].astype(np.int64))})
                 if cand_tbl.num_rows:
-                    docs_comb = self.representatives().union(
-                        ray.data.from_arrow(pa.table({
-                            "file_id": pa.array(
-                                [r for r, _ in (new_rep_rows
-                                                + verify_extra_rows)],
-                                pa.int64()),
-                            "content": pa.array(
-                                [c for _, c in (new_rep_rows
-                                                + verify_extra_rows)],
-                                content_type)})))
-                    new_verified = neardup.verify_pairs(
-                        ray.data.from_arrow(cand_tbl), docs_comb,
-                        cfg, prefiltered=True).materialize()
+                    # attach contents directly (bounded by the
+                    # candidate batch) and run the verify KERNEL — the
+                    # same VerifyStage scoring the pipeline uses,
+                    # without routing a batch-sized pair table through
+                    # the join machinery (whose empty partitions break
+                    # Ray 2.49 joins under GRAFT_FORCE_DISTRIBUTED)
+                    lookup = {r: c for r, c in (new_rep_rows
+                                                + verify_extra_rows)}
+                    pend = np.unique(np.concatenate(
+                        [np.asarray(cand_tbl["a"]),
+                         np.asarray(cand_tbl["b"])]))
+                    need_old = pa.array(
+                        [int(x) for x in pend
+                         if int(x) not in lookup], pa.int64())
+
+                    def keep_need(batch: pa.Table) -> pa.Table:
+                        return batch.filter(pc.is_in(
+                            batch["file_id"], value_set=need_old))
+
+                    got = _pull(
+                        self.representatives().map_batches(
+                            keep_need, batch_format="pyarrow"),
+                        empty=pa.table({
+                            "file_id": pa.array([], pa.int64()),
+                            "content": pa.array([], content_type)}))
+                    lookup.update(zip(got["file_id"].to_pylist(),
+                                      got["content"].to_pylist()))
+                    att = cand_tbl.append_column(
+                        "content_a", pa.array(
+                            [lookup[x] for x in
+                             cand_tbl["a"].to_pylist()], content_type))
+                    att = att.append_column(
+                        "content_b", pa.array(
+                            [lookup[x] for x in
+                             cand_tbl["b"].to_pylist()], content_type))
+                    new_verified = ray.data.from_arrow(
+                        neardup.verify_batch(att, cfg=cfg))
         if new_verified is None:
             new_verified = ray.data.from_arrow(ver_schema)
 
